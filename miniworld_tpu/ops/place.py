@@ -1,0 +1,105 @@
+"""On-device entity placement (reset-time rejection sampling).
+
+The reference placement loop (MiniWorldEnv.place_entity,
+miniworld/miniworld.py:922-992) retries unboundedly; under jit we use a
+fixed retry budget and keep the first valid sample — with default room
+densities the per-try success probability is high, so failures at
+budget 16+ are vanishingly rare (the try is then accepted anyway, which
+can only produce a slightly-overlapping spawn, never a crash).
+
+Semantics preserved per try:
+  * room sampled proportionally to bbox floor area (miniworld.py:957-963);
+  * position uniform over the (possibly overridden) room bbox *expanded
+    by the entity radius* (miniworld.py:966-973);
+  * rejected unless strictly inside the room outline and free of
+    wall/entity overlap;
+  * direction sampled uniformly in the rule's range only on acceptance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from miniworld_tpu.ops import geom
+
+
+def sample_room(key: jax.Array, lay) -> jax.Array:
+    """Room index sampled proportionally to floor bbox area.
+
+    Manual inverse-CDF categorical — jax.random.choice(p=...) compiles
+    pathologically slowly under vmap.
+    """
+    probs = jnp.where(lay.room_mask, lay.room_area, 0.0)
+    cdf = jnp.cumsum(probs)
+    u = jax.random.uniform(key, (), maxval=1.0) * cdf[-1]
+    return jnp.argmax(u < cdf).astype(jnp.int32)
+
+
+def place_one(
+    key: jax.Array,
+    lay,
+    rule_room: jax.Array,  # () i32
+    rule_bbox: jax.Array,  # (4,) f32, nan = room bbox
+    rule_pos: jax.Array,  # (3,) f32, nan = sample
+    rule_dir: jax.Array,  # () f32, nan = sample range
+    rule_dir_lo: jax.Array,
+    rule_dir_hi: jax.Array,
+    radius: jax.Array,
+    ent_pos_xz: jax.Array,  # (E,2) positions placed so far
+    ent_radius: jax.Array,  # (E,)
+    ent_mask: jax.Array,  # (E,) which rows to collide against
+    budget: int = 16,
+):
+    """Sample one entity pose. Returns (pos (3,), dir ())."""
+
+    k_dir, k_tries = jax.random.split(key)
+
+    def sample_dir(k):
+        return jnp.where(
+            jnp.isnan(rule_dir),
+            jax.random.uniform(k, (), minval=rule_dir_lo, maxval=rule_dir_hi),
+            rule_dir,
+        )
+
+    exact = ~jnp.isnan(rule_pos[0])
+
+    def one_try(k):
+        k_room, k_pos = jax.random.split(k)
+        room_idx = jnp.where(rule_room >= 0, rule_room, sample_room(k_room, lay))
+        aabb = lay.room_aabb[room_idx]  # [min_x, max_x, min_z, max_z]
+        bbox = jnp.where(jnp.isnan(rule_bbox), aabb, rule_bbox)
+        lo = jnp.stack([bbox[0] - radius, 0.0, bbox[2] - radius])
+        hi = jnp.stack([bbox[1] + radius, 0.0, bbox[3] + radius])
+        pos = jax.random.uniform(k_pos, (3,), minval=lo, maxval=hi)
+
+        pos_xz = pos[jnp.array([0, 2])]
+        inside = geom.point_inside_convex(
+            pos_xz,
+            lay.room_outline[room_idx],
+            lay.room_norms[room_idx],
+            lay.room_vmask[room_idx],
+        )
+        wall_hit = geom.intersect_circle_segs(pos_xz, radius, lay.segs, lay.seg_mask)
+        ent_hit = (
+            geom.circle_vs_entities(pos_xz, radius, ent_pos_xz, ent_radius, ent_mask)
+            >= 0
+        )
+        ok = inside & ~wall_hit & ~ent_hit
+        return pos, ok
+
+    def body(carry, k):
+        found, best = carry
+        pos, ok = one_try(k)
+        take = ok & ~found
+        best = jnp.where(take, pos, best)
+        return (found | ok, best), None
+
+    keys = jax.random.split(k_tries, budget)
+    # Fallback: last try's position even if invalid (never fires in practice).
+    init_pos, _ = one_try(keys[-1])
+    (found, pos), _ = jax.lax.scan(body, (jnp.bool_(False), init_pos), keys)
+
+    pos = jnp.where(exact, jnp.nan_to_num(rule_pos), pos)
+    d = sample_dir(k_dir)
+    return pos, d

@@ -1,0 +1,303 @@
+"""Layout compilation: World -> fixed-shape numpy arrays.
+
+A ``Layout`` is everything the device needs about one world geometry:
+static render triangles, collision segments, room tables (for on-device
+placement), entity prototypes/slots/placement rules, and texture slot
+tables. Layouts pad to common shapes and stack into *banks* so
+procedurally generated env classes (Maze) can gather a per-env layout
+by index on device.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, fields
+
+import jax
+import numpy as np
+
+from miniworld_tpu.scene.world import MAX_ALTS, World
+
+
+def _pad(arr: np.ndarray, n: int, axis: int = 0, fill=0):
+    pad_n = n - arr.shape[axis]
+    assert pad_n >= 0, (arr.shape, n)
+    if pad_n == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad_n)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(((n + m - 1) // m) * m, m)
+
+
+@dataclass
+class Layout:
+    """One compiled world layout (all numpy; see module docstring)."""
+
+    # static geometry
+    tri_verts: np.ndarray  # (S,3,3) f32
+    tri_uv: np.ndarray  # (S,3,2) f32
+    tri_normal: np.ndarray  # (S,3) f32
+    tri_tex: np.ndarray  # (S,) i32 texture slot, -1 = flat color
+    tri_color: np.ndarray  # (S,3) f32
+    tri_mask: np.ndarray  # (S,) bool
+    # collision
+    segs: np.ndarray  # (W,2,2) f32 XZ endpoints
+    seg_mask: np.ndarray  # (W,) bool
+    # rooms (placement / point_inside)
+    room_outline: np.ndarray  # (R,V,2) f32
+    room_norms: np.ndarray  # (R,V,2) f32
+    room_vmask: np.ndarray  # (R,V) bool
+    room_mask: np.ndarray  # (R,) bool
+    room_aabb: np.ndarray  # (R,4) f32 [min_x,max_x,min_z,max_z]
+    room_area: np.ndarray  # (R,) f32
+    # prototypes
+    proto_shape: np.ndarray  # (P,) i32
+    proto_size: np.ndarray  # (P,3) f32
+    proto_radius: np.ndarray  # (P,) f32
+    proto_height: np.ndarray  # (P,) f32
+    proto_color: np.ndarray  # (P,3) f32
+    proto_colorable: np.ndarray  # (P,) bool
+    proto_static: np.ndarray  # (P,) bool
+    proto_pickable: np.ndarray  # (P,) bool
+    # entity slots
+    slot_protos: np.ndarray  # (E,C) i32, -1 pad
+    slot_size_lo: np.ndarray  # (E,) f32
+    slot_size_hi: np.ndarray  # (E,) f32
+    slot_mask: np.ndarray  # (E,) bool
+    # placement rules, (E+1, A, ...) — row E is the agent's rule
+    rule_room: np.ndarray  # (E+1,A) i32, -1 = any
+    rule_bbox: np.ndarray  # (E+1,A,4) f32, nan = room bbox
+    rule_pos: np.ndarray  # (E+1,A,3) f32, nan = sample
+    rule_dir: np.ndarray  # (E+1,A) f32, nan = sample in range
+    rule_dir_lo: np.ndarray  # (E+1,A) f32
+    rule_dir_hi: np.ndarray  # (E+1,A) f32
+    rule_mask: np.ndarray  # (E+1,A) bool
+    # textures
+    tex_slot_base: np.ndarray  # (T,) i32
+    tex_slot_count: np.ndarray  # (T,) i32
+    # misc
+    extents: np.ndarray  # (4,) f32 floorplan min_x,max_x,min_z,max_z
+
+    def pad_to(self, sizes: dict) -> "Layout":
+        """Pad all leading dims to the given sizes (keys: S,W,R,V,P,E,C,T)."""
+        s = sizes
+        nan4 = float("nan")
+        return Layout(
+            tri_verts=_pad(self.tri_verts, s["S"]),
+            tri_uv=_pad(self.tri_uv, s["S"]),
+            tri_normal=_pad(self.tri_normal, s["S"]),
+            tri_tex=_pad(self.tri_tex, s["S"], fill=-1),
+            tri_color=_pad(self.tri_color, s["S"]),
+            tri_mask=_pad(self.tri_mask, s["S"], fill=False),
+            segs=_pad(self.segs, s["W"]),
+            seg_mask=_pad(self.seg_mask, s["W"], fill=False),
+            room_outline=_pad(_pad(self.room_outline, s["V"], axis=1), s["R"]),
+            room_norms=_pad(_pad(self.room_norms, s["V"], axis=1), s["R"]),
+            room_vmask=_pad(_pad(self.room_vmask, s["V"], axis=1, fill=False), s["R"], fill=False),
+            room_mask=_pad(self.room_mask, s["R"], fill=False),
+            room_aabb=_pad(self.room_aabb, s["R"]),
+            room_area=_pad(self.room_area, s["R"]),
+            proto_shape=_pad(self.proto_shape, s["P"]),
+            proto_size=_pad(self.proto_size, s["P"]),
+            proto_radius=_pad(self.proto_radius, s["P"]),
+            proto_height=_pad(self.proto_height, s["P"]),
+            proto_color=_pad(self.proto_color, s["P"]),
+            proto_colorable=_pad(self.proto_colorable, s["P"], fill=False),
+            proto_static=_pad(self.proto_static, s["P"], fill=True),
+            proto_pickable=_pad(self.proto_pickable, s["P"], fill=False),
+            slot_protos=_pad(_pad(self.slot_protos, s["C"], axis=1, fill=-1), s["E"], fill=-1),
+            slot_size_lo=_pad(self.slot_size_lo, s["E"], fill=1.0),
+            slot_size_hi=_pad(self.slot_size_hi, s["E"], fill=1.0),
+            slot_mask=_pad(self.slot_mask, s["E"], fill=False),
+            rule_room=_pad(self.rule_room, s["E"] + 1, fill=-1),
+            rule_bbox=_pad(self.rule_bbox, s["E"] + 1, fill=nan4),
+            rule_pos=_pad(self.rule_pos, s["E"] + 1, fill=nan4),
+            rule_dir=_pad(self.rule_dir, s["E"] + 1, fill=nan4),
+            rule_dir_lo=_pad(self.rule_dir_lo, s["E"] + 1, fill=-math.pi),
+            rule_dir_hi=_pad(self.rule_dir_hi, s["E"] + 1, fill=math.pi),
+            rule_mask=_pad(self.rule_mask, s["E"] + 1, fill=False),
+            tex_slot_base=_pad(self.tex_slot_base, s["T"]),
+            tex_slot_count=_pad(self.tex_slot_count, s["T"], fill=1),
+            extents=self.extents,
+        )
+
+    @property
+    def sizes(self) -> dict:
+        return dict(
+            S=self.tri_verts.shape[0],
+            W=self.segs.shape[0],
+            R=self.room_outline.shape[0],
+            V=self.room_outline.shape[1],
+            P=self.proto_shape.shape[0],
+            E=self.slot_protos.shape[0],
+            C=self.slot_protos.shape[1],
+            T=self.tex_slot_base.shape[0],
+        )
+
+
+# Layout is a pytree so banks can be passed as jit ARGUMENTS (closure
+# capture would embed them as XLA constants — brutal compile times).
+jax.tree_util.register_pytree_node(
+    Layout,
+    lambda lay: (tuple(getattr(lay, f.name) for f in fields(Layout)), None),
+    lambda _, children: Layout(*children),
+)
+
+
+def natural_sizes(layouts, align: int = 8) -> dict:
+    """Max sizes across layouts, rounded up for stable shapes."""
+    keys = ["S", "W", "R", "V", "P", "E", "C", "T"]
+    out = {}
+    for k in keys:
+        m = max(lay.sizes[k] for lay in layouts)
+        out[k] = _round_up(m, align if k in ("S", "W") else 1)
+    return out
+
+
+def stack_layouts(layouts, align: int = 8):
+    """Pad to common sizes and stack into a bank (leading L axis)."""
+    sizes = natural_sizes(layouts, align)
+    padded = [lay.pad_to(sizes) for lay in layouts]
+    out = {}
+    for f in fields(Layout):
+        out[f.name] = np.stack([getattr(p, f.name) for p in padded])
+    return Layout(**out)
+
+
+def compile_world(world: World) -> Layout:
+    """Compile a built World into a Layout (natural, unpadded sizes)."""
+    world.gen_static_data(rand=None if not world.eager else world._eager_static_rand)
+
+    # Room triangles + baked static entity triangles, in the reference's
+    # render order (rooms first, then static entities;
+    # miniworld.py:1135-1143).
+    tri = world._room_tris
+    all_verts = tri.verts + world.static_tris.verts
+    all_uvs = tri.uvs + world.static_tris.uvs
+    all_normals = tri.normals + world.static_tris.normals
+    all_tex = tri.tex_slots + world.static_tris.tex_slots
+    all_colors = tri.colors + world.static_tris.colors
+
+    S = len(all_verts)
+    tri_verts = np.asarray(all_verts, dtype=np.float32).reshape(S, 3, 3)
+    tri_uv = np.asarray(all_uvs, dtype=np.float32).reshape(S, 3, 2)
+    tri_normal = np.asarray(all_normals, dtype=np.float32).reshape(S, 3)
+    tri_tex = np.asarray(all_tex, dtype=np.int32)
+    tri_color = np.asarray(all_colors, dtype=np.float32).reshape(S, 3)
+    tri_mask = np.ones(S, dtype=bool)
+
+    segs = world._wall_segs.astype(np.float32)
+    seg_mask = np.ones(segs.shape[0], dtype=bool)
+
+    R = len(world.rooms)
+    V = max(r.num_walls for r in world.rooms)
+    room_outline = np.zeros((R, V, 2), dtype=np.float32)
+    room_norms = np.zeros((R, V, 2), dtype=np.float32)
+    room_vmask = np.zeros((R, V), dtype=bool)
+    room_aabb = np.zeros((R, 4), dtype=np.float32)
+    room_area = np.zeros(R, dtype=np.float32)
+    for i, r in enumerate(world.rooms):
+        n = r.num_walls
+        room_outline[i, :n] = r.outline[:, [0, 2]]
+        room_norms[i, :n] = r.edge_norms[:, [0, 2]]
+        room_vmask[i, :n] = True
+        room_aabb[i] = [r.min_x, r.max_x, r.min_z, r.max_z]
+        room_area[i] = r.area
+    room_mask = np.ones(R, dtype=bool)
+
+    P = max(len(world.protos), 1)
+    proto_shape = np.zeros(P, dtype=np.int32)
+    proto_size = np.zeros((P, 3), dtype=np.float32)
+    proto_radius = np.zeros(P, dtype=np.float32)
+    proto_height = np.zeros(P, dtype=np.float32)
+    proto_color = np.zeros((P, 3), dtype=np.float32)
+    proto_colorable = np.zeros(P, dtype=bool)
+    proto_static = np.ones(P, dtype=bool)
+    proto_pickable = np.zeros(P, dtype=bool)
+    for i, p in enumerate(world.protos):
+        proto_shape[i] = p.shape
+        proto_size[i] = p.size
+        proto_radius[i] = p.radius
+        proto_height[i] = p.height
+        proto_color[i] = p.color
+        proto_colorable[i] = p.colorable
+        proto_static[i] = p.static
+        proto_pickable[i] = p.pickable
+
+    E = len(world.slots)
+    C = max([len(s.proto_ids) for s in world.slots] + [1])
+    slot_protos = np.full((E, C), -1, dtype=np.int32)
+    slot_size_lo = np.ones(E, dtype=np.float32)
+    slot_size_hi = np.ones(E, dtype=np.float32)
+    slot_mask = np.ones(E, dtype=bool)
+
+    A = MAX_ALTS
+    rule_room = np.full((E + 1, A), -1, dtype=np.int32)
+    rule_bbox = np.full((E + 1, A, 4), np.nan, dtype=np.float32)
+    rule_pos = np.full((E + 1, A, 3), np.nan, dtype=np.float32)
+    rule_dir = np.full((E + 1, A), np.nan, dtype=np.float32)
+    rule_dir_lo = np.full((E + 1, A), -math.pi, dtype=np.float32)
+    rule_dir_hi = np.full((E + 1, A), math.pi, dtype=np.float32)
+    rule_mask = np.zeros((E + 1, A), dtype=bool)
+
+    def fill_rules(row, rules):
+        for a, rule in enumerate(rules):
+            rule_room[row, a] = rule.room_idx
+            rule_bbox[row, a] = [rule.min_x, rule.max_x, rule.min_z, rule.max_z]
+            if rule.pos is not None:
+                rule_pos[row, a] = rule.pos
+            if rule.dir is not None:
+                rule_dir[row, a] = rule.dir
+            rule_dir_lo[row, a] = rule.dir_lo
+            rule_dir_hi[row, a] = rule.dir_hi
+            rule_mask[row, a] = True
+
+    for i, s in enumerate(world.slots):
+        slot_protos[i, : len(s.proto_ids)] = s.proto_ids
+        slot_size_lo[i] = s.size_lo
+        slot_size_hi[i] = s.size_hi
+        fill_rules(i, s.rules)
+
+    assert world.agent_slot is not None, "world must place the agent"
+    fill_rules(E, world.agent_slot.rules)
+
+    T = max(len(world.tex_slots), 1)
+    tex_slot_base = np.zeros(T, dtype=np.int32)
+    tex_slot_count = np.ones(T, dtype=np.int32)
+    for i, (b, c) in enumerate(world.tex_slots):
+        tex_slot_base[i] = b
+        tex_slot_count[i] = c
+
+    extents = np.array(
+        [
+            min(r.min_x for r in world.rooms),
+            max(r.max_x for r in world.rooms),
+            min(r.min_z for r in world.rooms),
+            max(r.max_z for r in world.rooms),
+        ],
+        dtype=np.float32,
+    )
+
+    return Layout(
+        tri_verts=tri_verts, tri_uv=tri_uv, tri_normal=tri_normal,
+        tri_tex=tri_tex, tri_color=tri_color, tri_mask=tri_mask,
+        segs=segs, seg_mask=seg_mask,
+        room_outline=room_outline, room_norms=room_norms,
+        room_vmask=room_vmask, room_mask=room_mask,
+        room_aabb=room_aabb, room_area=room_area,
+        proto_shape=proto_shape, proto_size=proto_size,
+        proto_radius=proto_radius, proto_height=proto_height,
+        proto_color=proto_color, proto_colorable=proto_colorable,
+        proto_static=proto_static, proto_pickable=proto_pickable,
+        slot_protos=slot_protos, slot_size_lo=slot_size_lo,
+        slot_size_hi=slot_size_hi, slot_mask=slot_mask,
+        rule_room=rule_room, rule_bbox=rule_bbox, rule_pos=rule_pos,
+        rule_dir=rule_dir, rule_dir_lo=rule_dir_lo, rule_dir_hi=rule_dir_hi,
+        rule_mask=rule_mask,
+        tex_slot_base=tex_slot_base, tex_slot_count=tex_slot_count,
+        extents=extents,
+    )

@@ -1,0 +1,389 @@
+"""Vectorized MiniWorld: thousands of envs under jit+vmap.
+
+This is the TPU-native execution engine the reference has no
+counterpart for (its README's "multiple processes" is one env per OS
+process; SURVEY.md §2.12): env state is a batched pytree, stepping is
+``jit(vmap(step))``, resets happen on device (auto-reset included), and
+observations come from the raycaster — no host round-trips in the hot
+loop.
+
+API (functional, gymnax-style):
+
+    env = MiniWorldVec("MiniWorld-Hallway-v0", num_envs=1024)
+    state, obs = env.reset(jax.random.key(0))
+    state, obs, reward, done, info = env.step(state, actions)
+
+On ``done`` the env auto-resets and ``obs`` is the first observation of
+the new episode (the final pre-reset state is summarized in ``info``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import fields as dc_fields
+from functools import partial
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miniworld_tpu.envs.base import Ctx, EnvSpec
+from miniworld_tpu.ops import physics, place as place_ops
+from miniworld_tpu.render.raycast import render_rgbd
+from miniworld_tpu.render.textures import TextureCatalog
+from miniworld_tpu.scene.compile import Layout, compile_world, stack_layouts
+from miniworld_tpu.scene.world import World
+from miniworld_tpu.state import EnvState, StepResult, tree_select
+
+# Layout fields small enough to gather per env each step (everything
+# except the triangle soup, which the renderer indexes chunk-wise).
+_TRI_FIELDS = ("tri_verts", "tri_uv", "tri_normal", "tri_tex", "tri_color", "tri_mask")
+
+
+def build_bank(spec: EnvSpec, bank_seed: int = 0):
+    """Compile the spec's layout bank + texture atlas (host side)."""
+    catalog = TextureCatalog()
+    layouts = []
+    seeds = np.random.SeedSequence(bank_seed).spawn(spec.num_layouts)
+    for li in range(spec.num_layouts):
+        world = World(catalog)
+        world.agent_radius = spec.agent_radius
+        spec.build(world, None, layout_rng=np.random.default_rng(seeds[li]),
+                   layout_idx=li)
+        layouts.append(compile_world(world))
+    bank_np = stack_layouts(layouts)
+    atlas = catalog.build_atlas()
+    return bank_np, atlas
+
+
+def _to_device(bank_np: Layout) -> Layout:
+    return jax.tree.map(jnp.asarray, bank_np)
+
+
+def lay_view(bank: Layout, layout_id) -> Layout:
+    """Per-env layout view: small fields gathered, triangle soup left
+    as empty slices (the renderer indexes the bank chunk-wise instead —
+    gathering (S,3,3) per env would blow memory at large S x B)."""
+    out = {}
+    for f in dc_fields(Layout):
+        arr = getattr(bank, f.name)
+        if f.name in _TRI_FIELDS:
+            out[f.name] = arr[0, :0]
+        else:
+            out[f.name] = arr[layout_id]
+    return Layout(**out)
+
+
+class MiniWorldVec:
+    """Batched env over a compiled layout bank."""
+
+    def __init__(
+        self,
+        spec: EnvSpec | str,
+        num_envs: int,
+        *,
+        obs_width: int | None = None,
+        obs_height: int | None = None,
+        domain_rand: bool = False,
+        bank_seed: int = 0,
+        tri_chunk: int = 16,
+        with_depth: bool = True,
+        place_budget: int = 16,
+    ):
+        if isinstance(spec, str):
+            from miniworld_tpu.envs import make_spec
+
+            spec = make_spec(spec)
+        self.spec = spec
+        self.num_envs = num_envs
+        self.obs_width = obs_width or spec.obs_width
+        self.obs_height = obs_height or spec.obs_height
+        self.domain_rand = domain_rand
+        self.with_depth = with_depth
+        self.tri_chunk = tri_chunk
+        self.place_budget = place_budget
+
+        bank_np, atlas_np = build_bank(spec, bank_seed)
+        self._bank_np = bank_np
+        self._bank = _to_device(bank_np)
+        self._atlas = jnp.asarray(atlas_np)
+
+        self.num_layouts = bank_np.tri_verts.shape[0]
+        self.num_ent_slots = bank_np.slot_protos.shape[1]
+
+        if spec.discrete_actions is not None:
+            self._action_table = jnp.asarray(spec.discrete_actions)
+        else:
+            self._action_table = None
+
+        # bank/atlas are jit ARGUMENTS (not closures) so they never
+        # become embedded XLA constants.
+        self._reset_jit = jax.jit(
+            jax.vmap(self._reset_one, in_axes=(None, 0))
+        )
+        self._step_jit = jax.jit(
+            jax.vmap(self._step_one, in_axes=(None, 0, 0))
+        )
+        self._render_jit = jax.jit(
+            jax.vmap(self._obs_one, in_axes=(None, None, 0))
+        )
+
+    # -- param sampling ----------------------------------------------------
+
+    def _sample_param(self, key, name):
+        p = self.spec.params.params[name]
+        if not self.domain_rand:
+            return jnp.asarray(p.default, dtype=jnp.float32)
+        lo = jnp.asarray(p.min, dtype=jnp.float32)
+        hi = jnp.asarray(p.max, dtype=jnp.float32)
+        return jax.random.uniform(
+            key, np.shape(p.default), jnp.float32, minval=lo, maxval=hi
+        )
+
+    # -- reset -------------------------------------------------------------
+
+    def _reset_one(self, bank: Layout, key: jax.Array) -> EnvState:
+        spec = self.spec
+        ks = jax.random.split(key, 12)
+
+        if self.num_layouts > 1:
+            layout_id = jax.random.randint(ks[0], (), 0, self.num_layouts)
+        else:
+            layout_id = jnp.int32(0)
+        lay = lay_view(bank, layout_id)
+
+        E = self.num_ent_slots
+        # prototype choice per slot
+        def pick(kk, choices):
+            n = jnp.sum(choices >= 0)
+            i = jax.random.randint(kk, (), 0, jnp.maximum(n, 1))
+            return choices[i]
+
+        ent_proto = jax.vmap(pick)(jax.random.split(ks[1], E), lay.slot_protos)
+        ent_proto = jnp.maximum(ent_proto, 0)
+
+        size_mul = jax.random.uniform(
+            ks[2], (E,), minval=lay.slot_size_lo, maxval=lay.slot_size_hi
+        )
+        ent_size = lay.proto_size[ent_proto] * size_mul[:, None]
+        ent_radius = lay.proto_radius[ent_proto] * size_mul
+        ent_height = lay.proto_height[ent_proto] * size_mul
+
+        # obj_color_bias per entity (entity.py:405-407)
+        p_bias = spec.params.params["obj_color_bias"]
+        if self.domain_rand:
+            bias = jax.random.uniform(
+                ks[3], (E, 3),
+                minval=jnp.asarray(p_bias.min, jnp.float32),
+                maxval=jnp.asarray(p_bias.max, jnp.float32),
+            )
+        else:
+            bias = jnp.broadcast_to(jnp.asarray(p_bias.default, jnp.float32), (E, 3))
+        colorable = lay.proto_colorable[ent_proto]
+        ent_color = jnp.clip(
+            lay.proto_color[ent_proto] + jnp.where(colorable[:, None], bias, 0.0),
+            0.0, 1.0,
+        )
+
+        # placement alternative per slot
+        n_alts = jnp.sum(lay.rule_mask, axis=1)  # (E+1,)
+        alts = jax.vmap(
+            lambda kk, n: jax.random.randint(kk, (), 0, jnp.maximum(n, 1))
+        )(jax.random.split(ks[4], E + 1), n_alts)
+
+        # sequential placement (miniworld.py:922-992 order semantics)
+        place_keys = jax.random.split(ks[5], E)
+
+        def place_body(carry, inp):
+            ent_pos, ent_dir, placed = carry
+            e, kk = inp
+            alt = alts[e]
+            pos, d = place_ops.place_one(
+                kk, lay,
+                lay.rule_room[e, alt], lay.rule_bbox[e, alt],
+                lay.rule_pos[e, alt], lay.rule_dir[e, alt],
+                lay.rule_dir_lo[e, alt], lay.rule_dir_hi[e, alt],
+                ent_radius[e],
+                ent_pos[:, jnp.array([0, 2])], ent_radius, placed,
+                budget=self.place_budget,
+            )
+            valid = lay.slot_mask[e]
+            ent_pos = ent_pos.at[e].set(jnp.where(valid, pos, 0.0))
+            ent_dir = ent_dir.at[e].set(jnp.where(valid, d, 0.0))
+            placed = placed.at[e].set(valid)
+            return (ent_pos, ent_dir, placed), None
+
+        init = (
+            jnp.zeros((E, 3), jnp.float32),
+            jnp.zeros((E,), jnp.float32),
+            jnp.zeros((E,), bool),
+        )
+        (ent_pos, ent_dir, placed), _ = jax.lax.scan(
+            place_body, init, (jnp.arange(E), place_keys)
+        )
+
+        # agent placement (rule row E)
+        agent_alt = alts[E]
+        agent_pos, agent_dir = place_ops.place_one(
+            ks[6], lay,
+            lay.rule_room[E, agent_alt], lay.rule_bbox[E, agent_alt],
+            lay.rule_pos[E, agent_alt], lay.rule_dir[E, agent_alt],
+            lay.rule_dir_lo[E, agent_alt], lay.rule_dir_hi[E, agent_alt],
+            jnp.float32(spec.agent_radius),
+            ent_pos[:, jnp.array([0, 2])], ent_radius, placed,
+            budget=self.place_budget,
+        )
+
+        # per-episode params (reset consumption; miniworld.py:586-599)
+        pk = jax.random.split(ks[7], 8)
+        sky_color = self._sample_param(pk[0], "sky_color")
+        light_pos = self._sample_param(pk[1], "light_pos")
+        light_color = self._sample_param(pk[2], "light_color")
+        light_ambient = self._sample_param(pk[3], "light_ambient")
+        cam_height = self._sample_param(pk[4], "cam_height")
+        cam_fwd_disp = self._sample_param(pk[5], "cam_fwd_disp")
+        cam_pitch = self._sample_param(pk[6], "cam_pitch")
+        cam_fov_y = self._sample_param(pk[7], "cam_fov_y")
+
+        # texture variants (opengl.py:136-140)
+        n_slots = lay.tex_slot_base.shape[0]
+        if self.domain_rand:
+            u = jax.random.uniform(ks[8], (n_slots,))
+            offs = jnp.floor(u * lay.tex_slot_count.astype(jnp.float32)).astype(jnp.int32)
+            offs = jnp.minimum(offs, lay.tex_slot_count - 1)
+        else:
+            offs = jnp.zeros((n_slots,), jnp.int32)
+        tex_map = lay.tex_slot_base + offs
+
+        task = jax.tree.map(jnp.asarray, spec.init_task())
+        state = EnvState(
+            pos=agent_pos, dir=agent_dir,
+            cam_pitch=cam_pitch, cam_height=cam_height,
+            cam_fov_y=cam_fov_y, cam_fwd_disp=cam_fwd_disp,
+            carrying=jnp.int32(-1),
+            ent_pos=ent_pos, ent_dir=ent_dir,
+            ent_alive=lay.slot_mask,
+            ent_proto=ent_proto, ent_color=ent_color, ent_size=ent_size,
+            ent_radius=ent_radius, ent_height=ent_height,
+            step_count=jnp.int32(0), rng=ks[9], layout_id=layout_id,
+            sky_color=sky_color, light_pos=light_pos,
+            light_color=light_color, light_ambient=light_ambient,
+            tex_map=tex_map, task=task,
+        )
+        return spec.post_reset(lay, state, ks[10])
+
+    # -- step ---------------------------------------------------------------
+
+    def _step_one(self, bank: Layout, state: EnvState, action):
+        spec = self.spec
+        key, k_params, k_reset = jax.random.split(state.rng, 3)
+        state = state.replace(rng=key, step_count=state.step_count + 1)
+        prev = state
+
+        pk = jax.random.split(k_params, 3)
+        fwd_step = self._sample_param(pk[0], "forward_step")
+        fwd_drift = self._sample_param(pk[1], "forward_drift")
+        turn_step = self._sample_param(pk[2], "turn_step")
+
+        lay = lay_view(bank, state.layout_id)
+
+        if spec.override_physics:
+            action_vec = jnp.zeros(6, jnp.float32)
+            action_idx = (
+                action.astype(jnp.int32) if action.ndim == 0 else jnp.int32(-1)
+            )
+            if action.ndim > 0:
+                action_vec = action_vec.at[: action.shape[0]].set(action)
+            state = spec.apply_action(lay, state, action)
+            res = StepResult(
+                moved=jnp.bool_(False),
+                picked_up=jnp.int32(-1),
+                dropped=jnp.int32(-1),
+            )
+        else:
+            if self._action_table is not None:
+                action_idx = action.astype(jnp.int32)
+                action_vec = self._action_table[action_idx]
+            else:
+                action_idx = jnp.int32(-1)
+                action_vec = physics.clip_action(action.astype(jnp.float32))
+            state, res = physics.physics_step(
+                lay, state, action_vec,
+                max_forward_step=spec.max_forward_step,
+                fwd_step=fwd_step, fwd_drift=fwd_drift, turn_step=turn_step,
+                agent_radius=spec.agent_radius,
+            )
+
+        truncated = state.step_count >= spec.max_episode_steps
+        ctx = Ctx(
+            lay=lay, prev=prev, state=state, res=res,
+            action=action_vec, action_idx=action_idx, truncated=truncated,
+        )
+        reward, term, state = spec.transition(ctx)
+        reward = jnp.asarray(reward, jnp.float32)
+        done = term | truncated
+
+        info = {
+            "agent_pos": state.pos,
+            "agent_dir": state.dir,
+            "cam_pitch": state.cam_pitch,
+            "termination": term,
+            "truncation": truncated,
+        }
+        info.update(spec.info(ctx))
+
+        # on-device auto-reset (gymnax-style: obs comes from new episode)
+        reset_state = self._reset_one(bank, k_reset)
+        state = tree_select(done, reset_state, state)
+        return state, reward, done, info
+
+    # -- observation ----------------------------------------------------------
+
+    def _obs_one(self, bank: Layout, atlas, state: EnvState):
+        rgb, depth = render_rgbd(
+            bank, state, atlas,
+            width=self.obs_width, height=self.obs_height,
+            tri_chunk=self.tri_chunk, with_depth=self.with_depth,
+        )
+        rgb = self.spec.post_render(rgb, state)
+        if self.spec.dict_obs:
+            obs = {"obs": rgb, "goal": jnp.int32(self.spec.goal)}
+        else:
+            obs = rgb
+        if self.with_depth:
+            return obs, depth
+        return obs, None
+
+    # -- public API -------------------------------------------------------------
+
+    def reset(self, key: jax.Array):
+        """Returns (state, obs) [obs includes depth when with_depth]."""
+        keys = jax.random.split(key, self.num_envs)
+        state = self._reset_jit(self._bank, keys)
+        obs, depth = self._render_jit(self._bank, self._atlas, state)
+        return state, (obs, depth) if self.with_depth else obs
+
+    def step(self, state, actions):
+        """Returns (state, obs, reward, done, info)."""
+        state, reward, done, info = self._step_jit(self._bank, state, actions)
+        obs, depth = self._render_jit(self._bank, self._atlas, state)
+        obs_out = (obs, depth) if self.with_depth else obs
+        return state, obs_out, reward, done, info
+
+    def sample_actions(self, key: jax.Array):
+        """Random actions with the right dtype/shape for this env."""
+        spec = self.spec
+        if self._action_table is not None:
+            return jax.random.randint(
+                key, (self.num_envs,), 0, self._action_table.shape[0]
+            )
+        if getattr(spec, "num_actions", 0):
+            return jax.random.randint(key, (self.num_envs,), 0, spec.num_actions)
+        if getattr(spec, "click_action", False):
+            return jax.random.uniform(key, (self.num_envs, 2))
+        return jax.random.uniform(
+            key, (self.num_envs, 6),
+            minval=jnp.array([-1, -1, -1, -1, 0, 0], jnp.float32),
+            maxval=jnp.array([1, 1, 1, 1, 1, 1], jnp.float32),
+        )
