@@ -1,0 +1,63 @@
+"""Benchmark: env-steps/s/chip, vectorized, RGB-D observations.
+
+Metric of record (BASELINE.json): env-steps/s/chip with RGB-D obs.
+Runs the fused on-device rollout (lax.scan over step+render) on the
+default JAX backend and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the fraction of the BASELINE.json north-star target
+(1e6 env-steps/s per host) — the reference itself publishes no
+throughput numbers (/root/reference/README.md:31-41 is qualitative
+only, scripts/benchmark.py prints without recording).
+
+Usage: python bench.py [env_id] [num_envs] [horizon]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+TARGET = 1_000_000.0  # north-star env-steps/s per host (BASELINE.json)
+
+
+def main():
+    env_id = sys.argv[1] if len(sys.argv) > 1 else "MiniWorld-FourRooms-v0"
+    num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    horizon = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+
+    from miniworld_tpu import MiniWorldVec
+
+    env = MiniWorldVec(env_id, num_envs=num_envs, obs_width=80, obs_height=60,
+                       with_depth=True)
+    state, obs = env.reset(jax.random.key(0))
+
+    # compile + warmup
+    state, obs, outs = env.rollout(state, obs, jax.random.key(1), horizon)
+    jax.block_until_ready(outs["obs_sum"])
+
+    best = 0.0
+    for trial in range(3):
+        t0 = time.perf_counter()
+        state, obs, outs = env.rollout(
+            state, obs, jax.random.key(2 + trial), horizon
+        )
+        jax.block_until_ready(outs["obs_sum"])
+        dt = time.perf_counter() - t0
+        best = max(best, horizon * num_envs / dt)
+
+    print(json.dumps({
+        "metric": f"env-steps/s/chip ({env_id}, B={num_envs}, 80x60 RGB-D, "
+                  "fused rollout)",
+        "value": round(best),
+        "unit": "env-steps/s",
+        "vs_baseline": round(best / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

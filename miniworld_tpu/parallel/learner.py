@@ -1,0 +1,113 @@
+"""A compact actor-critic learner for sharded RGB-D observations.
+
+The reference ships no learner (its experiments/ are stale torch demos,
+SURVEY.md §2.11); this module exists to exercise the framework's
+stated deployment shape — sharded env batches feeding a sharded learner
+over ICI collectives — and to serve as the multi-chip dry-run model.
+
+Pure-JAX (no flax): params are a dict pytree, the network is a small
+bf16 CNN torso + policy/value heads, and the update is advantage
+actor-critic over on-device rollouts. Under ``shard_map`` the gradient
+is ``psum``-averaged over the ``data`` mesh axis — the only cross-chip
+communication in the system (env stepping itself is embarrassingly
+parallel over the batch).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from miniworld_tpu.parallel.mesh import DATA_AXIS
+
+
+def init_params(key: jax.Array, obs_shape, num_actions: int,
+                channels=(16, 32, 32), hidden: int = 256) -> dict:
+    """He-init CNN torso (stride-2 convs) + policy/value heads."""
+    h, w, c = obs_shape
+    params = {}
+    ks = jax.random.split(key, len(channels) + 3)
+    in_c = c + 1  # RGB + depth
+    for i, out_c in enumerate(channels):
+        fan_in = 3 * 3 * in_c
+        params[f"conv{i}"] = {
+            "w": jax.random.normal(ks[i], (3, 3, in_c, out_c), jnp.float32)
+            * math.sqrt(2.0 / fan_in),
+            "b": jnp.zeros((out_c,), jnp.float32),
+        }
+        in_c = out_c
+        h, w = -(-h // 2), -(-w // 2)
+    flat = h * w * in_c
+    params["fc"] = {
+        "w": jax.random.normal(ks[-3], (flat, hidden), jnp.float32)
+        * math.sqrt(2.0 / flat),
+        "b": jnp.zeros((hidden,), jnp.float32),
+    }
+    params["pi"] = {
+        "w": jax.random.normal(ks[-2], (hidden, num_actions), jnp.float32) * 0.01,
+        "b": jnp.zeros((num_actions,), jnp.float32),
+    }
+    params["v"] = {
+        "w": jax.random.normal(ks[-1], (hidden, 1), jnp.float32) * 0.01,
+        "b": jnp.zeros((1,), jnp.float32),
+    }
+    return params
+
+
+def forward(params: dict, rgb: jax.Array, depth: jax.Array):
+    """(B,H,W,3) u8 + (B,H,W,1) f32 -> (logits (B,A), value (B,))."""
+    x = jnp.concatenate(
+        [rgb.astype(jnp.bfloat16) / 255.0, (depth / 100.0).astype(jnp.bfloat16)],
+        axis=-1,
+    )
+    n_convs = sum(1 for k in params if k.startswith("conv"))
+    for i in range(n_convs):
+        p = params[f"conv{i}"]
+        x = jax.lax.conv_general_dilated(
+            x, p["w"].astype(jnp.bfloat16),
+            window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16,
+        ) + p["b"].astype(jnp.bfloat16)
+        x = jax.nn.relu(x)
+    x = x.reshape(x.shape[0], -1)
+    x = jax.nn.relu(
+        jnp.dot(x, params["fc"]["w"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        + params["fc"]["b"]
+    )
+    logits = jnp.dot(x.astype(jnp.bfloat16), params["pi"]["w"].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + params["pi"]["b"]
+    value = (jnp.dot(x.astype(jnp.bfloat16), params["v"]["w"].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + params["v"]["b"])[:, 0]
+    return logits, value
+
+
+def a2c_loss(params, rgb, depth, actions, returns):
+    """Advantage actor-critic loss for one batch of transitions."""
+    logits, value = forward(params, rgb, depth)
+    logp = jax.nn.log_softmax(logits)
+    act_logp = jnp.take_along_axis(logp, actions[:, None], axis=1)[:, 0]
+    adv = returns - jax.lax.stop_gradient(value)
+    pg = -jnp.mean(act_logp * adv)
+    vf = 0.5 * jnp.mean((returns - value) ** 2)
+    ent = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=1))
+    return pg + vf - 0.01 * ent
+
+
+def sgd_update(params, grads, lr: float = 3e-4):
+    return jax.tree.map(lambda p, g: p - lr * g, params, grads)
+
+
+def grad_step(params, rgb, depth, actions, returns, *, lr: float = 3e-4,
+              axis_name: str | None = DATA_AXIS):
+    """One A2C gradient step; grads psum-averaged over the mesh axis
+    when ``axis_name`` is set (i.e. inside shard_map/pmap)."""
+    loss, grads = jax.value_and_grad(a2c_loss)(params, rgb, depth, actions, returns)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+    return sgd_update(params, grads, lr), loss

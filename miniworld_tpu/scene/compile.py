@@ -39,6 +39,7 @@ class Layout:
 
     # static geometry
     tri_verts: np.ndarray  # (S,3,3) f32
+    tri_attr: np.ndarray  # (S,16) f32 packed render attrs (raycast.ATTR_DIM)
     tri_uv: np.ndarray  # (S,3,2) f32
     tri_normal: np.ndarray  # (S,3) f32
     tri_tex: np.ndarray  # (S,) i32 texture slot, -1 = flat color
@@ -88,6 +89,7 @@ class Layout:
         nan4 = float("nan")
         return Layout(
             tri_verts=_pad(self.tri_verts, s["S"]),
+            tri_attr=_pad(self.tri_attr, s["S"]),
             tri_uv=_pad(self.tri_uv, s["S"]),
             tri_normal=_pad(self.tri_normal, s["S"]),
             tri_tex=_pad(self.tri_tex, s["S"], fill=-1),
@@ -190,6 +192,18 @@ def compile_world(world: World) -> Layout:
     tri_color = np.asarray(all_colors, dtype=np.float32).reshape(S, 3)
     tri_mask = np.ones(S, dtype=bool)
 
+    # packed render attributes: [uv0 | du | dv | normal | color | slot | pad]
+    uv0 = tri_uv[:, 0, :]
+    duv1 = tri_uv[:, 1, :] - uv0
+    duv2 = tri_uv[:, 2, :] - uv0
+    tri_attr = np.zeros((S, 16), dtype=np.float32)
+    tri_attr[:, 0:2] = uv0
+    tri_attr[:, 2:4] = duv1
+    tri_attr[:, 4:6] = duv2
+    tri_attr[:, 6:9] = tri_normal
+    tri_attr[:, 9:12] = tri_color
+    tri_attr[:, 12] = tri_tex.astype(np.float32)
+
     segs = world._wall_segs.astype(np.float32)
     seg_mask = np.ones(segs.shape[0], dtype=bool)
 
@@ -283,7 +297,8 @@ def compile_world(world: World) -> Layout:
     )
 
     return Layout(
-        tri_verts=tri_verts, tri_uv=tri_uv, tri_normal=tri_normal,
+        tri_verts=tri_verts, tri_attr=tri_attr,
+        tri_uv=tri_uv, tri_normal=tri_normal,
         tri_tex=tri_tex, tri_color=tri_color, tri_mask=tri_mask,
         segs=segs, seg_mask=seg_mask,
         room_outline=room_outline, room_norms=room_norms,

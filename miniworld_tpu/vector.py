@@ -31,18 +31,22 @@ import numpy as np
 from miniworld_tpu.envs.base import Ctx, EnvSpec
 from miniworld_tpu.ops import physics, place as place_ops
 from miniworld_tpu.render.raycast import render_rgbd
-from miniworld_tpu.render.textures import TextureCatalog
+from miniworld_tpu.render.textures import FOURIER_TERMS, TextureCatalog
 from miniworld_tpu.scene.compile import Layout, compile_world, stack_layouts
 from miniworld_tpu.scene.world import World
 from miniworld_tpu.state import EnvState, StepResult, tree_select
 
 # Layout fields small enough to gather per env each step (everything
 # except the triangle soup, which the renderer indexes chunk-wise).
-_TRI_FIELDS = ("tri_verts", "tri_uv", "tri_normal", "tri_tex", "tri_color", "tri_mask")
+_TRI_FIELDS = (
+    "tri_verts", "tri_attr", "tri_uv", "tri_normal", "tri_tex",
+    "tri_color", "tri_mask",
+)
 
 
-def build_bank(spec: EnvSpec, bank_seed: int = 0):
-    """Compile the spec's layout bank + texture atlas (host side)."""
+def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
+               fourier_k: int = FOURIER_TERMS):
+    """Compile the spec's layout bank + texture tables (host side)."""
     catalog = TextureCatalog()
     layouts = []
     seeds = np.random.SeedSequence(bank_seed).spawn(spec.num_layouts)
@@ -53,8 +57,11 @@ def build_bank(spec: EnvSpec, bank_seed: int = 0):
                    layout_idx=li)
         layouts.append(compile_world(world))
     bank_np = stack_layouts(layouts)
-    atlas = catalog.build_atlas()
-    return bank_np, atlas
+    if tex_mode == "fourier":
+        tex_np = catalog.build_fourier(fourier_k)
+    else:
+        tex_np = catalog.build_atlas()
+    return bank_np, tex_np
 
 
 def _to_device(bank_np: Layout) -> Layout:
@@ -87,9 +94,11 @@ class MiniWorldVec:
         obs_height: int | None = None,
         domain_rand: bool = False,
         bank_seed: int = 0,
-        tri_chunk: int = 16,
+        tri_chunk: int = 128,
         with_depth: bool = True,
         place_budget: int = 16,
+        tex_mode: str = "fourier",
+        fourier_k: int = FOURIER_TERMS,
     ):
         if isinstance(spec, str):
             from miniworld_tpu.envs import make_spec
@@ -104,10 +113,15 @@ class MiniWorldVec:
         self.tri_chunk = tri_chunk
         self.place_budget = place_budget
 
-        bank_np, atlas_np = build_bank(spec, bank_seed)
+        assert tex_mode in ("fourier", "nearest"), tex_mode
+        self.tex_mode = tex_mode
+        self.fourier_k = fourier_k
+        bank_np, tex_np = build_bank(spec, bank_seed, tex_mode, fourier_k)
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
-        self._atlas = jnp.asarray(atlas_np)
+        # "atlas" carries whichever texture table the mode needs:
+        # fourier -> (N, 3+8K) coefficients; nearest -> (N,R,R,3) u8.
+        self._atlas = jnp.asarray(tex_np)
 
         self.num_layouts = bank_np.tri_verts.shape[0]
         self.num_ent_slots = bank_np.slot_protos.shape[1]
@@ -341,8 +355,12 @@ class MiniWorldVec:
     # -- observation ----------------------------------------------------------
 
     def _obs_one(self, bank: Layout, atlas, state: EnvState):
+        if self.tex_mode == "fourier":
+            tex = {"mode": "fourier", "coeffs": atlas, "k": self.fourier_k}
+        else:
+            tex = {"mode": "nearest", "atlas": atlas}
         rgb, depth = render_rgbd(
-            bank, state, atlas,
+            bank, state, tex,
             width=self.obs_width, height=self.obs_height,
             tri_chunk=self.tri_chunk, with_depth=self.with_depth,
         )
@@ -371,19 +389,98 @@ class MiniWorldVec:
         obs_out = (obs, depth) if self.with_depth else obs
         return state, obs_out, reward, done, info
 
-    def sample_actions(self, key: jax.Array):
+    def sample_actions(self, key: jax.Array, num: int | None = None):
         """Random actions with the right dtype/shape for this env."""
         spec = self.spec
+        n = self.num_envs if num is None else num
         if self._action_table is not None:
-            return jax.random.randint(
-                key, (self.num_envs,), 0, self._action_table.shape[0]
-            )
+            return jax.random.randint(key, (n,), 0, self._action_table.shape[0])
         if getattr(spec, "num_actions", 0):
-            return jax.random.randint(key, (self.num_envs,), 0, spec.num_actions)
+            return jax.random.randint(key, (n,), 0, spec.num_actions)
         if getattr(spec, "click_action", False):
-            return jax.random.uniform(key, (self.num_envs, 2))
+            return jax.random.uniform(key, (n, 2))
         return jax.random.uniform(
-            key, (self.num_envs, 6),
+            key, (n, 6),
             minval=jnp.array([-1, -1, -1, -1, 0, 0], jnp.float32),
             maxval=jnp.array([1, 1, 1, 1, 1, 1], jnp.float32),
         )
+
+    # -- fused rollout ------------------------------------------------------
+
+    def rollout_fn(self, horizon: int, *, policy=None, return_obs: bool = False):
+        """Build a jittable fused rollout: one XLA program scanning
+        ``horizon`` env steps on device (step + render per step).
+
+        This is the TPU-idiomatic execution shape: dispatching one
+        program per step leaves the chip idle between host round-trips,
+        while ``lax.scan`` keeps the whole trajectory on device (the
+        reference has no analog — its loop is host-driven by
+        construction, miniworld/manual_control.py:288-383).
+
+        Args:
+          horizon: steps per call.
+          policy: optional ``(obs, depth, key) -> actions`` (batched);
+            defaults to uniform-random actions in the env's space.
+          return_obs: stack per-step observations into the output
+            (O(T*B*H*W) memory!); otherwise obs are consumed on device
+            and only per-step summaries are returned.
+
+        Returns:
+          ``fn(bank, atlas, state, obs0, key) -> (state, metrics)``;
+          jit it (optionally with shard_map over the env axis).
+        """
+
+        def random_policy(obs, depth, key):
+            # batch size from obs (per-shard under shard_map)
+            return self.sample_actions(key, jax.tree.leaves(obs)[0].shape[0])
+
+        policy = policy or random_policy
+
+        def fn(bank, atlas, state, obs, depth, key):
+            def body(carry, key):
+                state, obs, depth = carry
+                k_act, _ = jax.random.split(key)
+                actions = policy(obs, depth, k_act)
+                state, reward, done, info = jax.vmap(
+                    self._step_one, in_axes=(None, 0, 0)
+                )(bank, state, actions)
+                obs, depth = jax.vmap(self._obs_one, in_axes=(None, None, 0))(
+                    bank, atlas, state
+                )
+                out = {
+                    "reward": jnp.sum(reward),
+                    "dones": jnp.sum(done),
+                    # obs checksum: forces rendering to be materialized
+                    # even when observations aren't returned.
+                    "obs_sum": jnp.sum(
+                        jax.tree.leaves(obs)[0].astype(jnp.uint32)
+                    ),
+                }
+                if return_obs:
+                    out["obs"] = obs
+                    if self.with_depth:
+                        out["depth"] = depth
+                return (state, obs, depth), out
+
+            keys = jax.random.split(key, horizon)
+            (state, obs, depth), outs = jax.lax.scan(
+                body, (state, obs, depth), keys
+            )
+            return state, obs, depth, outs
+
+        return fn
+
+    def rollout(self, state, obs, key, horizon: int):
+        """Run a fused ``horizon``-step random-policy rollout.
+
+        ``obs`` is the (obs, depth) pair from reset/step. Returns
+        (state, obs, metrics) with metrics summed per step.
+        """
+        if not hasattr(self, "_rollout_cache"):
+            self._rollout_cache = {}
+        if horizon not in self._rollout_cache:
+            self._rollout_cache[horizon] = jax.jit(self.rollout_fn(horizon))
+        fn = self._rollout_cache[horizon]
+        o, d = obs if self.with_depth else (obs, None)
+        state, o, d, outs = fn(self._bank, self._atlas, state, o, d, key)
+        return state, (o, d) if self.with_depth else o, outs
