@@ -131,6 +131,28 @@ class EnvSpec:
         """Extra per-step info entries (traced arrays)."""
         return {}
 
+    # ---- host-side (gymnasium adapter) hooks ---------------------------
+    # Float64 numpy counterparts of the traced task logic, mirroring the
+    # reference env step overrides exactly for bit-parity (gym_env.py).
+
+    def host_reset(self, env, rng) -> dict:
+        """Per-episode host task state; runs at the end of reset."""
+        return {}
+
+    def host_transition(self, env, action, reward, termination):
+        """Reference env ``step`` override logic (after base physics)."""
+        return reward, termination
+
+    def host_info(self, env) -> dict:
+        return {}
+
+    def host_apply_action(self, env, action):
+        """Custom physics for override_physics specs (host side)."""
+        raise NotImplementedError
+
+    def host_post_render(self, rgb: np.ndarray, env) -> np.ndarray:
+        return rgb
+
     # ---- shared helpers ------------------------------------------------
 
     def reward(self, state: EnvState) -> jax.Array:
@@ -169,6 +191,12 @@ class GoToEnvSpec(EnvSpec):
         reached = self.near_agent(ctx.state, self.goal_slot)
         reward = jnp.where(reached, self.reward(ctx.state), 0.0)
         return reward, reached, ctx.state
+
+    def host_transition(self, env, action, reward, termination):
+        if env.near(env.entities[self.goal_slot]):
+            reward += env._reward()
+            termination = True
+        return reward, termination
 
 
 DIR_QUARTER = (-math.pi / 4, math.pi / 4)

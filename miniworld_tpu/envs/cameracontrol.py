@@ -162,6 +162,78 @@ class CameraControl(EnvSpec):
             "distance_from_center": nd,
         }
 
+    # ---- host-side (gymnasium adapter) --------------------------------
+
+    def host_reset(self, env, rng):
+        wall = self._eager_wall
+        pos, yaw = _wall_pose(jnp.int32(wall), self.size)
+        pos = np.asarray(pos, dtype=np.float64)
+        env.agent_pos = pos * np.array([1.0, 0.0, 1.0])
+        env.agent_dir = float(yaw)
+        env.cam_pitch = 0.0
+        env.cam_fov_y = 60.0
+        env.cam_height = CAMERA_HEIGHT
+        env.cam_fwd_disp = 0.0
+        return {"camera_wall": wall}
+
+    def host_apply_action(self, env, action):
+        """cameracontrol.py:199-211, float64 host."""
+        a = int(action)
+        if a == 0:
+            env.agent_dir += self.pan_speed * math.pi / 180.0
+        elif a == 1:
+            env.agent_dir -= self.pan_speed * math.pi / 180.0
+        elif a == 2:
+            env.cam_pitch = min(89.0, env.cam_pitch + self.tilt_speed)
+        elif a == 3:
+            env.cam_pitch = max(-89.0, env.cam_pitch - self.tilt_speed)
+        elif a == 4:
+            env.cam_fov_y = max(self.min_fov, env.cam_fov_y - self.zoom_speed)
+        elif a == 5:
+            env.cam_fov_y = min(self.max_fov, env.cam_fov_y + self.zoom_speed)
+
+    def _host_key_centered(self, env):
+        key = env.entities[self.key_slot]
+        key_pos = key.pos.copy()
+        key_pos[1] = key.height / 2
+        cam_pos = env.agent_pos.copy()
+        cam_pos[1] = env.cam_height
+        to_key = key_pos - cam_pos
+        dist = np.linalg.norm(to_key)
+        if dist < 0.01:
+            return True, 0.0
+        to_key_n = to_key / dist
+        pitch_rad = math.radians(env.cam_pitch)
+        cam_dir = np.array([
+            math.cos(pitch_rad) * math.cos(env.agent_dir),
+            math.sin(pitch_rad),
+            -math.cos(pitch_rad) * math.sin(env.agent_dir),
+        ])
+        angle = math.acos(float(np.clip(np.dot(cam_dir, to_key_n), -1, 1)))
+        nd = angle / math.radians(env.cam_fov_y / 2)
+        return nd <= self.center_threshold, min(nd, 1.0)
+
+    def host_transition(self, env, action, reward, termination):
+        centered, _ = self._host_key_centered(env)
+        if centered:
+            reward += env._reward()
+            termination = True
+        return reward, termination
+
+    def host_info(self, env):
+        centered, nd = self._host_key_centered(env)
+        return {
+            "camera_yaw": env.agent_dir,
+            "camera_pitch": env.cam_pitch,
+            "camera_fov": env.cam_fov_y,
+            "camera_wall": env.task["camera_wall"],
+            "key_centered": centered,
+            "distance_from_center": nd,
+        }
+
+    def host_post_render(self, rgb, env):
+        return np.asarray(draw_crosshair(jnp.asarray(rgb)))
+
 
 @dataclass
 class CameraControlClick(CameraControl):
@@ -190,3 +262,17 @@ class CameraControlClick(CameraControl):
             state.cam_pitch + jnp.where(move, tilt, 0.0), -89.0, 89.0
         )
         return state.replace(dir=yaw, cam_pitch=pitch)
+
+    def host_apply_action(self, env, action):
+        """cameracontrolclick.py:157-217, float64 host."""
+        dx = float(action[0]) - 0.5
+        dy = float(action[1]) - 0.5
+        distance = math.sqrt(dx * dx + dy * dy)
+        if distance <= 0.01:
+            return
+        dir_x, dir_y = dx / distance, dy / distance
+        fov_scale = env.cam_fov_y / 60.0
+        pan = -dir_x * self.pan_speed * self.movement_scale * fov_scale
+        tilt = -dir_y * self.tilt_speed * self.movement_scale * fov_scale
+        env.agent_dir += pan * math.pi / 180.0
+        env.cam_pitch = float(np.clip(env.cam_pitch + tilt, -89.0, 89.0))

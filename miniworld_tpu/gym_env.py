@@ -1,0 +1,477 @@
+"""Gymnasium adapter: single-env, reference-parity execution.
+
+Drop-in replacement for the reference's ``MiniWorldEnv`` API
+(miniworld/miniworld.py:438-813): same observation/action spaces, same
+``reset(seed)``/``step`` contract, same ``info`` dict. Physics runs
+host-side in float64 numpy, transcribing the reference's exact op order
+and ``np_random`` consumption, so trajectories, rewards, and
+terminations are bit-exact against the reference under a fixed seed
+(BASELINE.md correctness target). Rendering uses the TPU raycaster in
+exact-texture mode on whatever backend JAX selects.
+
+The vectorized TPU path (vector.MiniWorldVec) is the performance
+engine; this adapter exists for API parity, gym tooling (env-checker,
+wrappers), interactive use, and as the golden model for tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import gymnasium as gym
+import numpy as np
+from gymnasium import spaces
+
+from miniworld_tpu.render.textures import TextureCatalog
+from miniworld_tpu.scene.world import World
+from miniworld_tpu.utils.assets import texture_variant_paths
+
+# module-level texture catalog: texture files are shared across env
+# instances like the reference's Texture.tex_cache (opengl.py:142-145)
+_CATALOG = TextureCatalog()
+
+
+def intersect_circle_segs(point, radius, segs) -> bool:
+    """Float64 transcription of miniworld/math.py:30-62."""
+    if len(segs) == 0:
+        return False
+    a = segs[:, 0, :]
+    b = segs[:, 1, :]
+    ab = b - a
+    ap = point[None, :] - a
+    t = np.clip(
+        np.sum(ap * ab, axis=1) / np.sum(ab * ab, axis=1), 0.0, 1.0
+    )
+    c = a + t[:, None] * ab
+    return bool(np.any(np.linalg.norm(c - point[None, :], axis=1) < radius))
+
+
+class HostEntity:
+    """Mutable per-episode entity record (reference Entity analog)."""
+
+    __slots__ = ("pos", "dir", "radius", "height", "color", "proto_id",
+                 "static", "pickable", "alive", "size_mul", "slot_idx")
+
+    def __init__(self, pos, direction, radius, height, color, proto_id,
+                 static, pickable, size_mul, slot_idx):
+        self.pos = np.asarray(pos, dtype=np.float64)
+        self.dir = float(direction)
+        self.radius = float(radius)
+        self.height = float(height)
+        self.color = np.asarray(color, dtype=np.float64)
+        self.proto_id = int(proto_id)
+        self.static = bool(static)
+        self.pickable = bool(pickable)
+        self.alive = True
+        self.size_mul = float(size_mul)
+        self.slot_idx = int(slot_idx)
+
+
+class MiniWorldGym(gym.Env):
+    """Single-env gymnasium adapter over an EnvSpec."""
+
+    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 30}
+
+    def __init__(
+        self,
+        spec,
+        obs_width: int = 80,
+        obs_height: int = 60,
+        domain_rand: bool = False,
+        render_mode: Optional[str] = None,
+        max_episode_steps: Optional[int] = None,
+        **spec_kwargs,
+    ):
+        if isinstance(spec, str):
+            from miniworld_tpu.envs import make_spec
+
+            spec = make_spec(spec, **spec_kwargs)
+        self.spec_def = spec
+        self.obs_width = obs_width
+        self.obs_height = obs_height
+        self.domain_rand = domain_rand
+        self.render_mode = render_mode
+        self.max_episode_steps = max_episode_steps or spec.max_episode_steps
+        self.params = spec.params
+
+        # 6-D continuous base action space (miniworld.py:483-487) with
+        # the spec's discrete table layered on top (miniworld.py:654-664)
+        if spec.discrete_actions is not None:
+            self._discrete_actions = np.asarray(spec.discrete_actions)
+            self.action_space = spaces.Discrete(len(self._discrete_actions))
+        elif getattr(spec, "num_actions", 0):
+            self._discrete_actions = None
+            self.action_space = spaces.Discrete(spec.num_actions)
+        elif getattr(spec, "click_action", False):
+            self._discrete_actions = None
+            self.action_space = spaces.Box(0.0, 1.0, (2,), np.float32)
+        else:
+            self._discrete_actions = None
+            self.action_space = spaces.Box(
+                low=np.array([-1, -1, -1, -1, 0, 0], np.float32),
+                high=np.array([1, 1, 1, 1, 1, 1], np.float32),
+                shape=(6,), dtype=np.float32,
+            )
+
+        img_space = spaces.Box(
+            0, 255, (obs_height, obs_width, 3), dtype=np.uint8
+        )
+        if spec.dict_obs:
+            self.observation_space = spaces.Dict(
+                obs=img_space, goal=spaces.Discrete(2)
+            )
+        else:
+            self.observation_space = img_space
+
+        # agent state (entity.py:455-529)
+        self.agent_radius = spec.agent_radius
+        self._render_cache = None
+        self.world: World | None = None
+        self.step_count = 0
+
+    # -- reset ----------------------------------------------------------
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        super().reset(seed=seed)
+        rng = self.np_random
+        rand = rng if self.domain_rand else None
+        self.step_count = 0
+
+        # fresh Agent defaults (entity.py:455-474)
+        self.cam_height = 1.5
+        self.cam_fwd_disp = 0.0
+        self.cam_pitch = 0.0
+        self.cam_fov_y = 60.0
+        self.carrying: HostEntity | None = None
+
+        # world build == reference _gen_world (rng consumed identically)
+        world = World(_CATALOG, rng=rng)
+        world.agent_radius = self.agent_radius
+        world.set_eager_static_rand(rand)
+        self.spec_def.build(world, rng)
+        world.gen_static_data(rand=rand)
+        self.world = world
+        self.max_forward_step = float(self.params.get_max("forward_step"))
+
+        # episode params (miniworld.py:586-592); defaults when rand None
+        for name in ["sky_color", "light_pos", "light_color", "light_ambient"]:
+            setattr(self, name, np.asarray(self.params.sample(rand, name), dtype=np.float64))
+
+        # entity instantiation in placement order
+        self.entities: list[HostEntity] = []
+        for i, slot in enumerate(world.slots):
+            proto = world.protos[slot.proto_id]
+            self.entities.append(HostEntity(
+                slot.pos, slot.dir, proto.radius * slot.size_mul,
+                proto.height * slot.size_mul, proto.color, slot.proto_id,
+                proto.static, proto.pickable, slot.size_mul, i,
+            ))
+        assert world.agent_slot is not None and world.agent_slot.pos is not None
+        self.agent_pos = np.asarray(world.agent_slot.pos, dtype=np.float64)
+        self.agent_dir = float(world.agent_slot.dir)
+
+        # per-entity randomization in entity order (miniworld.py:598-599):
+        # Box consumes obj_color_bias (entity.py:405-407); TextFrame
+        # re-rolls per-char texture variants (entity.py:287-299); the
+        # agent — appended by place_agent — consumes 4 camera params
+        # (entity.py:519-529).
+        for i, (ent, slot) in enumerate(zip(self.entities, world.slots)):
+            proto = world.protos[ent.proto_id]
+            if proto.colorable:
+                bias = self.params.sample(rand, "obj_color_bias")
+                ent.color = np.clip(proto.color + bias, 0, 1)
+            char_slots = getattr(slot, "char_tex_slots", None)
+            if char_slots is not None and rand is not None:
+                for cs in char_slots:
+                    world._sample_tex_variant(cs, rand)
+        if world.agent_in_entities:
+            for name in ["cam_height", "cam_fwd_disp", "cam_pitch", "cam_fov_y"]:
+                setattr(self, name, float(self.params.sample(rand, name)))
+
+        # floorplan extents (miniworld.py:601-605)
+        self.min_x = min(r.min_x for r in world.rooms)
+        self.max_x = max(r.max_x for r in world.rooms)
+        self.min_z = min(r.min_z for r in world.rooms)
+        self.max_z = max(r.max_z for r in world.rooms)
+
+        self.wall_segs = world._wall_segs  # (N,2,2) XZ float64
+        self._render_cache = None
+
+        # spec-level per-episode host state (health, camera wall, ...)
+        self.task = self.spec_def.host_reset(self, rng)
+
+        obs = self.render_obs()
+        return self._wrap_obs(obs), {"agent": self._get_agent_state()}
+
+    # -- reference step transcription ------------------------------------
+
+    @property
+    def dir_vec(self):
+        return np.array([math.cos(self.agent_dir), 0.0, -math.sin(self.agent_dir)])
+
+    @property
+    def right_vec(self):
+        return np.array([math.sin(self.agent_dir), 0.0, math.cos(self.agent_dir)])
+
+    def intersect(self, ent, pos, radius):
+        """miniworld.py:1020-1046; ``ent`` may be None (the agent)."""
+        p = np.array([pos[0], pos[2]])
+        if intersect_circle_segs(p, radius, self.wall_segs):
+            return True
+        for ent2 in self.entities:
+            if ent2 is ent or not ent2.alive:
+                continue
+            d = np.linalg.norm(np.array([ent2.pos[0], ent2.pos[2]]) - p)
+            if d < radius + ent2.radius:
+                return ent2
+        # the agent participates in entity collision when it's not the
+        # query subject (reference keeps the agent in self.entities)
+        if ent is not None:
+            d = np.linalg.norm(np.array([self.agent_pos[0], self.agent_pos[2]]) - p)
+            if d < radius + self.agent_radius:
+                return True
+        return None
+
+    def near(self, ent0, ent1=None):
+        """miniworld.py:1048-1058."""
+        p1, r1 = (
+            (self.agent_pos, self.agent_radius)
+            if ent1 is None else (ent1.pos, ent1.radius)
+        )
+        dist = np.linalg.norm(ent0.pos - p1)
+        return dist < ent0.radius + r1 + 1.1 * self.max_forward_step
+
+    def _get_carry_pos(self, agent_pos, ent):
+        """miniworld.py:677-689."""
+        dist = self.agent_radius + ent.radius + self.max_forward_step
+        pos = agent_pos + self.dir_vec * 1.05 * dist
+        y_pos = max(self.cam_height - ent.height - 0.3, 0)
+        return pos + np.array([0.0, 1.0, 0.0]) * y_pos
+
+    def move_agent(self, fwd_dist, strafe_dist) -> bool:
+        """miniworld.py:691-717."""
+        next_pos = (
+            self.agent_pos + self.dir_vec * fwd_dist + self.right_vec * strafe_dist
+        )
+        if self.intersect(None, next_pos, self.agent_radius):
+            return False
+        if self.carrying is not None:
+            next_carrying_pos = self._get_carry_pos(next_pos, self.carrying)
+            if self.intersect(self.carrying, next_carrying_pos, self.carrying.radius):
+                return False
+            self.carrying.pos = next_carrying_pos
+            self.carrying.dir = self.agent_dir
+        self.agent_pos = next_pos
+        return True
+
+    def _update_agent_orientation(self, yaw_delta, pitch_delta) -> bool:
+        """miniworld.py:719-745."""
+        orig_dir, orig_pitch = self.agent_dir, self.cam_pitch
+        self.agent_dir += yaw_delta
+        self.cam_pitch = float(np.clip(self.cam_pitch + pitch_delta, -89.0, 89.0))
+        if self.carrying is not None:
+            pos = self._get_carry_pos(self.agent_pos, self.carrying)
+            if self.intersect(self.carrying, pos, self.carrying.radius):
+                self.agent_dir, self.cam_pitch = orig_dir, orig_pitch
+                return False
+            self.carrying.pos = pos
+            self.carrying.dir = self.agent_dir
+        return True
+
+    def _get_agent_state(self):
+        """miniworld.py:666-675."""
+        return {
+            "pos": self.agent_pos.copy(),
+            "dir": self.agent_dir,
+            "cam_pitch": self.cam_pitch,
+        }
+
+    def _reward(self):
+        """miniworld.py:1095-1100."""
+        return 1.0 - 0.2 * (self.step_count / self.max_episode_steps)
+
+    def step(self, action):
+        self.step_count += 1
+        rand = self.np_random if self.domain_rand else None
+        spec = self.spec_def
+
+        if spec.override_physics:
+            spec.host_apply_action(self, action)
+        else:
+            fwd_step = self.params.sample(rand, "forward_step")
+            fwd_drift = self.params.sample(rand, "forward_drift")
+            turn_step = self.params.sample(rand, "turn_step")
+
+            action_idx = -1
+            if np.isscalar(action) or np.ndim(action) == 0:
+                action_idx = int(action)
+                action = self._discrete_actions[action_idx]
+            action = np.asarray(action, dtype=np.float32)
+            action = np.clip(
+                action,
+                [-1, -1, -1, -1, 0, 0],
+                [1, 1, 1, 1, 1, 1],
+            ).astype(np.float64)
+
+            yaw_delta = action[2] * turn_step * math.pi / 180
+            pitch_delta = action[3] * turn_step
+            self._update_agent_orientation(yaw_delta, pitch_delta)
+
+            forward_dist = action[0] * fwd_step
+            strafe_dist = action[1] * fwd_step + fwd_drift
+            self.move_agent(forward_dist, strafe_dist)
+
+            if action[4] > 0.5:  # pickup (miniworld.py:789-793)
+                test_pos = self.agent_pos + self.dir_vec * 1.5 * self.agent_radius
+                ent = self.intersect(None, test_pos, 1.2 * self.agent_radius)
+                if (
+                    self.carrying is None
+                    and isinstance(ent, HostEntity)
+                    and not ent.static
+                ):
+                    self.carrying = ent
+            if action[5] > 0.5 and self.carrying is not None:  # drop
+                self.carrying.pos[1] = 0
+                self.carrying = None
+
+        obs = self.render_obs()
+
+        if self.step_count >= self.max_episode_steps:
+            reward, termination, truncation = 0.0, False, True
+        else:
+            reward, termination, truncation = 0.0, False, False
+
+        # env-specific task logic (reference env step overrides)
+        reward, termination = spec.host_transition(
+            self, action, reward, termination
+        )
+        info = {"agent": self._get_agent_state()}
+        info.update(spec.host_info(self))
+        return self._wrap_obs(obs), reward, termination, truncation, info
+
+    # -- rendering --------------------------------------------------------
+
+    def _build_render_state(self):
+        """Compile the host world + pack an EnvState for the raycaster."""
+        import jax
+        import jax.numpy as jnp
+
+        from miniworld_tpu.scene.compile import compile_world
+        from miniworld_tpu.state import EnvState
+
+        if self._render_cache is None:
+            lay = compile_world(self.world)
+            bank = jax.tree.map(lambda x: jnp.asarray(x)[None], lay)
+            atlas = jnp.asarray(_CATALOG.build_atlas())
+            self._render_cache = (bank, atlas)
+        bank, atlas = self._render_cache
+        E = max(len(self.entities), 1)
+        ent_pos = np.zeros((E, 3), np.float32)
+        ent_dir = np.zeros(E, np.float32)
+        ent_alive = np.zeros(E, bool)
+        ent_proto = np.zeros(E, np.int32)
+        ent_color = np.zeros((E, 3), np.float32)
+        ent_size = np.zeros((E, 3), np.float32)
+        ent_radius = np.zeros(E, np.float32)
+        ent_height = np.zeros(E, np.float32)
+        for i, e in enumerate(self.entities):
+            proto = self.world.protos[e.proto_id]
+            ent_pos[i] = e.pos
+            ent_dir[i] = e.dir
+            ent_alive[i] = e.alive
+            ent_proto[i] = e.proto_id
+            ent_color[i] = e.color
+            ent_size[i] = proto.size * e.size_mul
+            ent_radius[i] = e.radius
+            ent_height[i] = e.height
+
+        state = EnvState(
+            pos=jnp.asarray(self.agent_pos, jnp.float32),
+            dir=jnp.float32(self.agent_dir),
+            cam_pitch=jnp.float32(self.cam_pitch),
+            cam_height=jnp.float32(self.cam_height),
+            cam_fov_y=jnp.float32(self.cam_fov_y),
+            cam_fwd_disp=jnp.float32(self.cam_fwd_disp),
+            carrying=jnp.int32(-1),
+            ent_pos=jnp.asarray(ent_pos), ent_dir=jnp.asarray(ent_dir),
+            ent_alive=jnp.asarray(ent_alive), ent_proto=jnp.asarray(ent_proto),
+            ent_color=jnp.asarray(ent_color), ent_size=jnp.asarray(ent_size),
+            ent_radius=jnp.asarray(ent_radius), ent_height=jnp.asarray(ent_height),
+            step_count=jnp.int32(self.step_count),
+            rng=jax.random.key(0), layout_id=jnp.int32(0),
+            sky_color=jnp.asarray(self.sky_color, jnp.float32),
+            light_pos=jnp.asarray(self.light_pos, jnp.float32),
+            light_color=jnp.asarray(self.light_color, jnp.float32),
+            light_ambient=jnp.asarray(self.light_ambient, jnp.float32),
+            tex_map=jnp.asarray(np.asarray(self.world.tex_map, np.int32)),
+            task={},
+        )
+        return bank, atlas, state
+
+    def render_obs(self, depth: bool = False):
+        """First-person RGB (miniworld.py:1260-1303); exact textures."""
+        from miniworld_tpu.render.raycast import render_rgbd
+
+        bank, atlas, state = self._build_render_state()
+        rgb, d = render_rgbd(
+            bank, state, {"mode": "nearest", "atlas": atlas},
+            width=self.obs_width, height=self.obs_height, with_depth=depth,
+        )
+        rgb = np.asarray(rgb)
+        rgb = np.asarray(self.spec_def.host_post_render(rgb, self))
+        if depth:
+            return rgb, np.asarray(d)
+        return rgb
+
+    def render_depth(self):
+        """RGB-D observation (miniworld.py:1305-1318); depth in meters."""
+        return self.render_obs(depth=True)
+
+    def render_top_view(self, width: int | None = None, height: int | None = None):
+        """Orthographic top-down map view (miniworld.py:1171-1258)."""
+        from miniworld_tpu.render.topview import render_top_view
+
+        bank, atlas, state = self._build_render_state()
+        return np.asarray(render_top_view(
+            bank, state, {"mode": "nearest", "atlas": atlas},
+            width=width or self.obs_width, height=height or self.obs_height,
+            extents=(self.min_x, self.max_x, self.min_z, self.max_z),
+            agent_radius=self.agent_radius,
+        ))
+
+    def render(self):
+        if self.render_mode == "rgb_array":
+            return self.render_obs()
+        return None
+
+    def close(self):
+        pass
+
+    # -- helpers ----------------------------------------------------------
+
+    def _wrap_obs(self, obs):
+        if self.spec_def.dict_obs:
+            return {"obs": obs, "goal": int(self.spec_def.goal)}
+        return obs
+
+
+def register_gym(prefix: str = ""):
+    """Register all env IDs with gymnasium (envs/__init__.py:52-185).
+
+    With the default empty prefix the IDs match the reference exactly
+    (``MiniWorld-Hallway-v0`` ...), so downstream code can switch from
+    the reference package by changing only the import.
+    """
+    from miniworld_tpu.envs import SPEC_CLASSES
+
+    for cls in SPEC_CLASSES:
+        inst = cls()
+        gym_id = prefix + inst.gym_id
+        if gym_id in gym.registry:
+            continue
+        gym.register(
+            id=gym_id,
+            entry_point="miniworld_tpu.gym_env:MiniWorldGym",
+            kwargs={"spec": inst.name},
+        )

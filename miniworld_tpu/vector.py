@@ -99,6 +99,7 @@ class MiniWorldVec:
         place_budget: int = 16,
         tex_mode: str = "fourier",
         fourier_k: int = FOURIER_TERMS,
+        render_backend: str = "auto",
     ):
         if isinstance(spec, str):
             from miniworld_tpu.envs import make_spec
@@ -116,6 +117,15 @@ class MiniWorldVec:
         assert tex_mode in ("fourier", "nearest"), tex_mode
         self.tex_mode = tex_mode
         self.fourier_k = fourier_k
+        # Fused Pallas kernel on TPU; XLA raycaster elsewhere (and for
+        # the exact-texture mode, which the kernel does not implement).
+        if render_backend == "auto":
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            render_backend = (
+                "pallas" if (on_tpu and tex_mode == "fourier") else "xla"
+            )
+        assert render_backend in ("pallas", "xla"), render_backend
+        self.render_backend = render_backend
         bank_np, tex_np = build_bank(spec, bank_seed, tex_mode, fourier_k)
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
@@ -139,9 +149,7 @@ class MiniWorldVec:
         self._step_jit = jax.jit(
             jax.vmap(self._step_one, in_axes=(None, 0, 0))
         )
-        self._render_jit = jax.jit(
-            jax.vmap(self._obs_one, in_axes=(None, None, 0))
-        )
+        self._render_jit = jax.jit(self._render_batch)
 
     # -- param sampling ----------------------------------------------------
 
@@ -316,10 +324,13 @@ class MiniWorldVec:
                 dropped=jnp.int32(-1),
             )
         else:
-            if self._action_table is not None:
+            if self._action_table is not None and action.ndim == 0:
                 action_idx = action.astype(jnp.int32)
                 action_vec = self._action_table[action_idx]
             else:
+                # raw 6-D vector actions always accepted (reference
+                # keeps the Box space under discrete mappings,
+                # miniworld.py:759-779)
                 action_idx = jnp.int32(-1)
                 action_vec = physics.clip_action(action.astype(jnp.float32))
             state, res = physics.physics_step(
@@ -364,6 +375,9 @@ class MiniWorldVec:
             width=self.obs_width, height=self.obs_height,
             tri_chunk=self.tri_chunk, with_depth=self.with_depth,
         )
+        return self._wrap_obs_one(rgb, depth, state)
+
+    def _wrap_obs_one(self, rgb, depth, state):
         rgb = self.spec.post_render(rgb, state)
         if self.spec.dict_obs:
             obs = {"obs": rgb, "goal": jnp.int32(self.spec.goal)}
@@ -372,6 +386,56 @@ class MiniWorldVec:
         if self.with_depth:
             return obs, depth
         return obs, None
+
+    def _render_batch(self, bank: Layout, atlas, state: EnvState):
+        """Batched observation render (Pallas kernel or vmapped XLA)."""
+        if self.render_backend != "pallas":
+            return jax.vmap(self._obs_one, in_axes=(None, None, 0))(
+                bank, atlas, state
+            )
+        from miniworld_tpu.ops import geom
+        from miniworld_tpu.render.pallas_kernel import render_batch_pallas
+
+        def pack_one(s):
+            fwd, up, right = geom.cam_basis(s.dir, s.cam_pitch)
+            origin = geom.cam_position(
+                s.pos, s.dir, s.cam_height, s.cam_fwd_disp
+            )
+            tan_y = jnp.tan(jnp.deg2rad(s.cam_fov_y) * 0.5)
+            tan_x = tan_y * (self.obs_width / self.obs_height)
+            uni = jnp.zeros(32, jnp.float32)
+            uni = uni.at[0:3].set(origin).at[3:6].set(fwd)
+            uni = uni.at[6:9].set(up).at[9:12].set(right)
+            uni = uni.at[12].set(tan_x).at[13].set(tan_y)
+            uni = uni.at[14:17].set(s.sky_color)
+            uni = uni.at[17:20].set(s.light_pos)
+            uni = uni.at[20:23].set(s.light_color)
+            uni = uni.at[23:26].set(s.light_ambient)
+
+            shape = bank.proto_shape[s.layout_id, s.ent_proto]
+            static = bank.proto_static[s.layout_id, s.ent_proto]
+            active = s.ent_alive & ~static & (shape != 0)
+            num_e = s.ent_pos.shape[0]
+            ent = jnp.zeros((num_e, 16), jnp.float32)
+            ent = ent.at[:, 0:3].set(s.ent_pos)
+            ent = ent.at[:, 3].set(s.ent_dir)
+            ent = ent.at[:, 4:7].set(s.ent_size)
+            ent = ent.at[:, 7].set(s.ent_height)
+            ent = ent.at[:, 8:11].set(s.ent_color)
+            ent = ent.at[:, 11].set(shape.astype(jnp.float32))
+            ent = ent.at[:, 12].set(active.astype(jnp.float32))
+
+            coeffs_env = atlas[s.tex_map]
+            return uni, ent, coeffs_env
+
+        uniforms, ent_attr, coeffs = jax.vmap(pack_one)(state)
+        rgb, depth = render_batch_pallas(
+            state.layout_id, bank.tri_verts, bank.tri_attr,
+            uniforms[:, None, :], ent_attr, coeffs,
+            width=self.obs_width, height=self.obs_height,
+            k_terms=self.fourier_k,
+        )
+        return jax.vmap(self._wrap_obs_one)(rgb, depth, state)
 
     # -- public API -------------------------------------------------------------
 
@@ -444,9 +508,7 @@ class MiniWorldVec:
                 state, reward, done, info = jax.vmap(
                     self._step_one, in_axes=(None, 0, 0)
                 )(bank, state, actions)
-                obs, depth = jax.vmap(self._obs_one, in_axes=(None, None, 0))(
-                    bank, atlas, state
-                )
+                obs, depth = self._render_batch(bank, atlas, state)
                 out = {
                     "reward": jnp.sum(reward),
                     "dones": jnp.sum(done),

@@ -10,7 +10,9 @@ Tests run on CPU (the TPU is reserved for benchmarks) with:
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment selects a TPU backend
+# (the TPU is reserved for benchmarks; tests must be hermetic).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 os.environ["XLA_FLAGS"] = (
     flags

@@ -1,0 +1,143 @@
+"""Renderer correctness: Fourier texture model, depth math, texture-mode
+consistency, top view. The reference asserts rendering only
+statistically (tests/test_miniworld.py:30-33); we do the same plus
+analytic depth checks the GL path can't do."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miniworld_tpu import MiniWorldVec
+from miniworld_tpu.render.textures import (
+    TextureCatalog,
+    fit_fourier_texture,
+)
+from miniworld_tpu.render import raycast
+from miniworld_tpu.utils.assets import texture_variant_paths
+
+W, H = 48, 36
+
+
+def _reconstruct(packed, k, res):
+    """Evaluate the packed Fourier model on a res x res grid (numpy)."""
+    dc = packed[0:3]
+    fu = packed[3:3 + k]
+    fv = packed[3 + k:3 + 2 * k]
+    a0 = 3 + 2 * k
+    a = packed[a0:a0 + 3 * k].reshape(3, k)
+    b = packed[a0 + 3 * k:a0 + 6 * k].reshape(3, k)
+    # evaluate on the DFT grid (texel corners), matching the fit basis
+    u = np.arange(res) / res
+    v = 1.0 - np.arange(res) / res
+    uu, vv = np.meshgrid(u, v, indexing="xy")  # row = image row (top-down)
+    arg = 2 * np.pi * (fu[None, None, :] * uu[..., None]
+                       + fv[None, None, :] * vv[..., None])
+    ca, sa = np.cos(arg), np.sin(arg)
+    out = np.empty((res, res, 3))
+    for ch in range(3):
+        out[..., ch] = dc[ch] + (a[ch] * ca + b[ch] * sa).sum(-1)
+    return out
+
+
+def test_fourier_fit_reconstruction():
+    """Packed-coefficient evaluation must reproduce the fit: RMSE below
+    an 8x8 mip for structured textures (the GL-minified look)."""
+    from PIL import Image
+
+    for name in ["brick_wall", "floor_tiles_bw", "concrete_tiles"]:
+        path = texture_variant_paths(name)[0]
+        with Image.open(path) as im:
+            img = np.asarray(
+                im.convert("RGB").resize((64, 64), Image.BILINEAR)
+            ).astype(np.float64) / 255.0
+        k = 32
+        packed = fit_fourier_texture(img, k)
+        rec = _reconstruct(packed, k, 64)
+        rmse = float(np.sqrt(np.mean((rec - img) ** 2)))
+        mip = np.asarray(
+            Image.fromarray((img * 255).astype(np.uint8))
+            .resize((8, 8), Image.BILINEAR)
+            .resize((64, 64), Image.BILINEAR)
+        ).astype(np.float64) / 255.0
+        mip_rmse = float(np.sqrt(np.mean((mip - img) ** 2)))
+        assert rmse < mip_rmse, (name, rmse, mip_rmse)
+        assert rmse < 0.08, (name, rmse)
+
+
+def test_fourier_periodicity():
+    """GL_REPEAT: shifting uv by integers must not change the texel."""
+    from PIL import Image
+
+    path = texture_variant_paths("brick_wall")[0]
+    with Image.open(path) as im:
+        img = np.asarray(im.convert("RGB").resize((64, 64))).astype(float) / 255
+    packed = jnp.asarray(fit_fourier_texture(img, 16))[None, :]
+    uv = jnp.array([[0.3, 0.7], [0.3 + 5.0, 0.7 - 3.0]])
+    slot = jnp.zeros(2, jnp.float32)
+    texel = raycast.eval_fourier(packed, slot, uv, 16)
+    np.testing.assert_allclose(
+        np.asarray(texel[0]), np.asarray(texel[1]), atol=2e-4
+    )
+
+
+def test_depth_is_eye_space_z():
+    """Agent facing a wall squarely: center-pixel depth equals the
+    perpendicular wall distance (opengl.py:400-435 semantics)."""
+    env = MiniWorldVec("MiniWorld-OneRoom-v0", num_envs=1, obs_width=W,
+                       obs_height=H)
+    state, _ = env.reset(jax.random.key(0))
+    # put the agent at the center looking +x at the x=10 wall
+    state = jax.tree.map(lambda x: x, state)
+    state = state.replace(
+        pos=jnp.array([[5.0, 0.0, 5.0]]),
+        dir=jnp.array([0.0]),
+        cam_pitch=jnp.array([0.0]),
+        ent_alive=jnp.zeros_like(state.ent_alive),
+    )
+    obs, depth = env._render_jit(env._bank, env._atlas, state)
+    d_center = float(depth[0, H // 2, W // 2, 0])
+    # wall at x=10, eye at x=5 (+cam_fwd_disp 0) -> 5 meters
+    assert abs(d_center - 5.0) < 0.05, d_center
+    # sky not visible in a closed room: all depths < FAR
+    assert float(depth.max()) < raycast.FAR
+
+
+def test_texture_modes_agree_statistically():
+    """Fourier and exact-nearest texturing must produce images that
+    agree in the mean (blur differs, brightness must not)."""
+    e1 = MiniWorldVec("MiniWorld-Hallway-v0", num_envs=2, obs_width=W,
+                      obs_height=H, tex_mode="fourier")
+    e2 = MiniWorldVec("MiniWorld-Hallway-v0", num_envs=2, obs_width=W,
+                      obs_height=H, tex_mode="nearest")
+    s1, (o1, _) = e1.reset(jax.random.key(0))
+    s2, (o2, _) = e2.reset(jax.random.key(0))
+    m1 = float(jnp.mean(o1.astype(jnp.float32)))
+    m2 = float(jnp.mean(o2.astype(jnp.float32)))
+    assert abs(m1 - m2) < 12.0, (m1, m2)
+    # per-pixel: most pixels close (same geometry, same lighting)
+    diff = np.abs(np.asarray(o1, np.int32) - np.asarray(o2, np.int32))
+    assert float(np.median(diff)) < 25.0
+
+
+def test_top_view_shows_agent():
+    from miniworld_tpu.gym_env import MiniWorldGym
+
+    env = MiniWorldGym("OneRoom", obs_width=W, obs_height=H)
+    env.reset(seed=0)
+    tv = env.render_top_view(96, 96)
+    assert tv.shape == (96, 96, 3)
+    # red agent triangle: some pixels are pure-ish red
+    red = (tv[:, :, 0] > 200) & (tv[:, :, 1] < 80) & (tv[:, :, 2] < 80)
+    assert red.sum() >= 1
+
+
+def test_sky_visible_outdoors():
+    env = MiniWorldVec("MiniWorld-WallGap-v0", num_envs=1, obs_width=W,
+                       obs_height=H)
+    state, (obs, depth) = env.reset(jax.random.key(2))
+    state = state.replace(cam_pitch=jnp.array([45.0]))
+    obs, depth = env._render_jit(env._bank, env._atlas, state)
+    # looking up outdoors: some sky pixels at FAR depth
+    assert float(depth.max()) == raycast.FAR
