@@ -1,43 +1,45 @@
-"""Fused Pallas TPU render kernel.
+"""Fused Pallas TPU render kernel (lane-major pixel layout).
 
-The XLA raycaster (render/raycast.py) is algorithmically gather-free,
-but XLA materializes every (pixels x triangles) intermediate to HBM —
-at 1024 envs x 4800 pixels that is gigabytes of traffic per step and
-dominates the step time. This kernel runs the identical pipeline —
-ray generation, chunked ray-triangle intersection with in-chunk one-hot
-attribute resolve, analytic entity intersection, Fourier texture
-evaluation, fixed-function shading — entirely in VMEM, with one grid
-step per env and an in-kernel loop over pixel tiles (measured grid-step
-overhead is ~1.5us, so tiles must not be grid dimensions; conversely a
-whole 4800-pixel image as one working set blows the 16MB VMEM budget —
-the tile loop keeps the live set at TILE x TRI_CHUNK).
+Runs the full observation pipeline — ray generation, chunked
+ray-triangle intersection with one-hot attribute resolve, analytic
+entity intersection, Fourier texture evaluation, fixed-function
+shading — in VMEM with one grid step per env and an in-kernel loop over
+128-pixel tiles.
 
-Mosaic-imposed shape rules encoded here (all discovered empirically):
-  * no scalar/matvec dots, no jnp.cross on (N,3) arrays, no jnp.stack
-    of scalars into small vectors -> ALL math is component-wise on
-    (TILE,)/(TC,) lane vectors;
-  * triangle data arrives pre-transposed (components in sublanes,
-    triangles in lanes) so chunk slices are natural lane vectors;
-  * boolean jnp.where does not legalize -> mask algebra;
-  * f32->u32 casts go through i32.
+Layout rationale (every rule below was measured on v5e, see the perf
+notes in the module this supersedes):
+  * 1-D arrays and broadcast-splat stores lower ~1000x slower than 2-D
+    vector code -> nothing here is 1-D until the final store reshape;
+  * per-pixel values live as (1, 128) lane rows (full-lane VPU ops at
+    1/8 sublane utilization — the cheap direction to waste);
+  * per-(triangle, pixel) matrices are (TRI_CHUNK, 128) with triangles
+    in sublanes, so the z-buffer reduction is a sublane reduce and the
+    per-pixel outputs land directly in lane rows;
+  * triangle data is packed (L, S, 32) — triangles in sublanes — so a
+    chunk column slice (TC, 1) broadcasts against pixel rows with no
+    relayout;
+  * texture coefficients arrive transposed (B, D, T) so the per-pixel
+    coefficient fetch is one (D, T) @ (T, 128) matmul;
+  * scalars (camera uniforms, entity table) come from SMEM;
+  * no scalar/matvec dots, no jnp.cross/stack on small vectors, no
+    boolean selects, f32->u32 via i32 (Mosaic lowering limits).
 
-Numerical semantics match render/raycast.py (same formulas, f32); the
-only deliberate difference is the within-chunk tie-break: equal-t
-winners are weight-normalized instead of first-index (cumsum does not
-lower in Mosaic). Ties require bit-equal ray-triangle distances and are
-z-fights in GL too.
+Numerics match render/raycast.py except the within-chunk tie-break:
+equal-t winners are weight-normalized instead of first-index (ties are
+GL z-fights anyway).
 
-Layout contracts:
-  uniforms (B, 1, 32) f32:
-    [0:3] cam origin  [3:6] fwd  [6:9] up  [9:12] right
-    [12] tan_x  [13] tan_y  [14:17] sky  [17:20] light_pos
-    [20:23] light_color  [23:26] light_ambient
-  ent_attr (B, E, 16) f32:
-    [0:3] pos  [3] dir  [4:7] size  [7] height  [8:11] color
-    [11] shape  [12] active
-  tri pack (built here from the Layout bank): (L, 32, S) f32 with
-    rows 0-8 = v0/v1/v2 xyz and rows 9-24 = the 16 attr columns.
-  outputs: rgba (B, NT, TILE) u32 packed 0xAABBGGRR, depth f32.
+Contracts:
+  uniforms (B, 1, 32) f32 [SMEM]:
+    [0:3] origin [3:6] fwd [6:9] up [9:12] right [12] tan_x [13] tan_y
+    [14:17] sky [17:20] light_pos [20:23] light_color
+    [23:26] light_ambient
+  ent_attr (B, E, 16) f32 [SMEM]:
+    [0:3] pos [3] dir [4:7] size [7] height [8:11] color [11] shape
+    [12] active
+  tri pack (L, S_pad, 32) f32: cols 0-8 v0/v1/v2 xyz, cols 9-24 attrs
+    ([uv0|du|dv|normal|color|slot|pad], raycast.ATTR layout).
+  coeffs (B, D, T) f32: transposed Fourier tables (tex_map applied).
+  outputs rgba (B, NT, 128) u32 0xAABBGGRR + depth f32.
 """
 
 from __future__ import annotations
@@ -53,8 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 from miniworld_tpu.render.raycast import FAR, GL_GLOBAL_AMBIENT, NEAR
 from miniworld_tpu.scene.entities import SHAPE_SPHERE
 
-TILE = 1024  # pixels per in-kernel tile iteration (VMEM budget)
-TRI_CHUNK = 128
+PX = 128  # pixels per inner tile (one lane row)
+TRI_CHUNK = 256  # triangles per chunk (sublane dim of the hit matrix)
 
 
 def _round_up(n, m):
@@ -62,17 +64,13 @@ def _round_up(n, m):
 
 
 def _kernel(
-    # scalar prefetch
-    layout_ids_ref,
-    # inputs
-    tri_ref,        # (1, 32, S) packed transposed triangle data
-    attrT_ref,      # (1, S, 16) attrs in matmul orientation
-    uni_ref,        # (1, 1, 32)
-    ent_ref,        # (1, E, 16)
-    coef_ref,       # (1, T, D)
-    # outputs
-    rgba_ref,       # (1, NT, TILE)
-    depth_ref,      # (1, NT, TILE)
+    layout_ids_ref,  # scalar prefetch (B,)
+    tri_ref,         # (1, S_pad, 32) VMEM
+    uni_ref,         # (1, 1, 32) SMEM
+    ent_ref,         # (1, E, 16) SMEM
+    coef_ref,        # (1, D, T) VMEM
+    rgba_ref,        # (1, NT, PX) VMEM out
+    depth_ref,       # (1, NT, PX) VMEM out
     *,
     width: int,
     height: int,
@@ -80,7 +78,6 @@ def _kernel(
     num_tris: int,
     num_ents: int,
     n_tiles: int,
-    phases: int = 7,  # bit0 tri, bit1 entity, bit2 texture (debug knob)
 ):
     def u(k):
         return uni_ref[0, 0, k]
@@ -90,18 +87,10 @@ def _kernel(
     hw = width * height
     n_chunks = num_tris // TRI_CHUNK
 
-    def attr_ref_mat(start):
-        """(TC, 16) attribute block in matmul orientation."""
-        return attrT_ref[0, pl.ds(start, TRI_CHUNK)]
-
     def render_tile(pt, _):
-        # ALL per-pixel arrays are (TILE, 1) column vectors: 1-D arrays
-        # lower catastrophically in Mosaic (measured 1000x slower).
-        # ---- ray directions for this pixel tile ----------------------
-        pix = pt * TILE + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE, 1), 0
-        )
-        pix = jnp.minimum(pix, hw - 1)  # clamp padding pixels
+        # ---- rays: per-pixel lane rows (1, PX) ------------------------
+        pix = pt * PX + jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+        pix = jnp.minimum(pix, hw - 1)
         py = pix // width
         px = pix - py * width
         xs = (2.0 * (px.astype(jnp.float32) + 0.5) / width - 1.0) * tan_x
@@ -109,22 +98,21 @@ def _kernel(
         dx = u(3) + xs * u(9) + ys * u(6)
         dy = u(4) + xs * u(10) + ys * u(7)
         dz = u(5) + xs * u(11) + ys * u(8)
-        dx_c, dy_c, dz_c = dx, dy, dz  # already (TILE, 1)
 
-        # ---- triangle pass (chunked, one-hot resolve) -----------------
+        # ---- triangle pass --------------------------------------------
         def tri_body(c, carry):
             t_best, attr_best, u_best, v_best = carry
             start = c * TRI_CHUNK
 
-            def row(r):
-                return tri_ref[0, r, pl.ds(start, TRI_CHUNK)]  # (TC,)
+            def col(k):
+                return tri_ref[0, pl.ds(start, TRI_CHUNK), k:k + 1]  # (TC,1)
 
-            v0x, v0y, v0z = row(0), row(1), row(2)
-            e1x, e1y, e1z = row(3) - v0x, row(4) - v0y, row(5) - v0z
-            e2x, e2y, e2z = row(6) - v0x, row(7) - v0y, row(8) - v0z
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
+            e2x, e2y, e2z = col(6) - v0x, col(7) - v0y, col(8) - v0z
             sx_, sy_, sz_ = ox - v0x, oy - v0y, oz - v0z
 
-            # g_det = e2 x e1; g_u = e2 x s; g_v = s x e1 (all (TC,))
+            # g_det = e2 x e1; g_u = e2 x s; g_v = s x e1  (TC,1) each
             gdx = e2y * e1z - e2z * e1y
             gdy = e2z * e1x - e2x * e1z
             gdz = e2x * e1y - e2y * e1x
@@ -134,24 +122,15 @@ def _kernel(
             gvx = sy_ * e1z - sz_ * e1y
             gvy = sz_ * e1x - sx_ * e1z
             gvz = sx_ * e1y - sy_ * e1x
-            t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC,)
+            t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC,1)
 
-            # outer-product contractions: (TILE,1)*(1,TC) broadcasts
-            det = (
-                dx_c * gdx[None, :] + dy_c * gdy[None, :]
-                + dz_c * gdz[None, :]
-            )
-            u_num = (
-                dx_c * gux[None, :] + dy_c * guy[None, :]
-                + dz_c * guz[None, :]
-            )
-            v_num = (
-                dx_c * gvx[None, :] + dy_c * gvy[None, :]
-                + dz_c * gvz[None, :]
-            )
+            # (TC,1) x (1,PX) outer-product broadcasts -> (TC, PX)
+            det = gdx * dx + gdy * dy + gdz * dz
+            u_num = gux * dx + guy * dy + guz * dz
+            v_num = gvx * dx + gvy * dy + gvz * dz
 
             inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
-            t = t_num[None, :] * inv_det
+            t = t_num * inv_det
             hit = (
                 (det > 1e-12)
                 & (u_num >= 0.0)
@@ -160,26 +139,20 @@ def _kernel(
                 & (t > NEAR)
                 & (t < FAR)
             )
-            u_mat = u_num * inv_det  # frees u_num
+            u_mat = u_num * inv_det
             v_mat = v_num * inv_det
             t = jnp.where(hit, t, jnp.inf)
-            t_min = jnp.min(t, axis=1, keepdims=True)
+            t_min = jnp.min(t, axis=0, keepdims=True)  # (1, PX)
             oh = ((t == t_min) & hit).astype(jnp.float32)
-            # weight-normalize exact ties (see module docstring)
-            oh = oh / jnp.maximum(jnp.sum(oh, axis=1, keepdims=True), 1.0)
-            # attribute resolve on the MXU: one (TILE,TC)@(TC,18) matmul
-            # replaces 18 lane-wise reductions. Columns 16/17 carry the
-            # per-pixel u/v contributions by augmenting oh with the
-            # weighted matrices (still a single contraction each).
-            attr_cols = attr_ref_mat(start)  # (TC, 16)
-            sel_mat = jax.lax.dot_general(
-                oh, attr_cols,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (TILE, 16)
-            sel = [sel_mat[:, k_:k_ + 1] for k_ in range(16)]
-            u_sel = jnp.sum(oh * u_mat, axis=1, keepdims=True)
-            v_sel = jnp.sum(oh * v_mat, axis=1, keepdims=True)
+            oh = oh / jnp.maximum(jnp.sum(oh, axis=0, keepdims=True), 1.0)
+
+            # attribute resolve: 16 sublane reductions (TC,PX) -> (1,PX)
+            sel = tuple(
+                jnp.sum(oh * col(9 + k_), axis=0, keepdims=True)
+                for k_ in range(16)
+            )
+            u_sel = jnp.sum(oh * u_mat, axis=0, keepdims=True)
+            v_sel = jnp.sum(oh * v_mat, axis=0, keepdims=True)
 
             closer = t_min < t_best
             return (
@@ -192,21 +165,18 @@ def _kernel(
                 jnp.where(closer, v_sel, v_best),
             )
 
-        zeros_tile = jnp.zeros((TILE, 1), jnp.float32)
+        zrow = jnp.zeros((1, PX), jnp.float32)
         init_tri = (
-            jnp.full((TILE, 1), jnp.inf, jnp.float32),
-            (zeros_tile,) * 16,
-            zeros_tile,
-            zeros_tile,
+            jnp.full((1, PX), jnp.inf, jnp.float32),
+            (zrow,) * 16,
+            zrow,
+            zrow,
         )
-        if phases & 1:
-            t_tri, attr, u_bar, v_bar = jax.lax.fori_loop(
-                0, n_chunks, tri_body, init_tri
-            )
-        else:
-            t_tri, attr, u_bar, v_bar = init_tri
+        t_tri, attr, u_bar, v_bar = jax.lax.fori_loop(
+            0, n_chunks, tri_body, init_tri
+        )
 
-        # ---- entity pass (component-wise) -----------------------------
+        # ---- entity pass (component-wise on (1,PX) rows) ---------------
         def ent_body(e, carry):
             t_best, cr, cg, cb, nx, ny, nz = carry
             px_, py_, pz_ = (
@@ -237,8 +207,7 @@ def _kernel(
             nsy = (ocy + t_sph * dy) * inv_r
             nsz = (ocz + t_sph * dz) * inv_r
 
-            # oriented box: local axes ax=(cd,0,-sd), ay=(0,1,0),
-            # az=(sd,0,cd)
+            # oriented box: ax=(cd,0,-sd), ay=(0,1,0), az=(sd,0,cd)
             cd, sd = jnp.cos(direction), jnp.sin(direction)
             orx, ory, orz = ox - px_, oy - py_, oz - pz_
             olx = orx * cd - orz * sd
@@ -260,19 +229,16 @@ def _kernel(
             t_in = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
             t_out = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
             box_hit = (t_in <= t_out) & (t_in > NEAR) & (t_in < FAR)
-            # entry-slab one-hot -> world normal, all arithmetic
             wx = (tx_lo == t_in).astype(jnp.float32)
             wy = (ty_lo == t_in).astype(jnp.float32) * (1.0 - wx)
             wz = (tz_lo == t_in).astype(jnp.float32) * (1.0 - wx) * (1.0 - wy)
             sign = -jnp.sign(wx * dlx + wy * dly + wz * dlz)
-            # world = wx*ax + wy*ay + wz*az
             nbx = sign * (wx * cd + wz * sd)
             nby = sign * wy
             nbz = sign * (-wx * sd + wz * cd)
 
             is_sphere = shape == float(SHAPE_SPHERE)
             t_e = jnp.where(is_sphere, t_sph, t_in)
-            # boolean select does not legalize in Mosaic; mask algebra
             hit_e = active & (
                 (is_sphere & sph_hit) | (~is_sphere & box_hit)
             )
@@ -291,50 +257,46 @@ def _kernel(
                 jnp.where(closer, n_ez, nz),
             )
 
-        zeros_px = jnp.zeros((TILE, 1), jnp.float32)
-        init_ent = (
-            jnp.full((TILE, 1), jnp.inf, jnp.float32),
-        ) + (zeros_px,) * 6
-        if phases & 2:
-            t_ent, ecr, ecg, ecb, enx, eny, enz = jax.lax.fori_loop(
-                0, num_ents, ent_body, init_ent
-            )
-        else:
-            t_ent, ecr, ecg, ecb, enx, eny, enz = init_ent
+        init_ent = (jnp.full((1, PX), jnp.inf, jnp.float32),) + (zrow,) * 6
+        t_ent, ecr, ecg, ecb, enx, eny, enz = jax.lax.fori_loop(
+            0, num_ents, ent_body, init_ent
+        )
 
         # ---- texture (Fourier) -----------------------------------------
         ub = attr[0] + u_bar * attr[2] + v_bar * attr[4]
         vb = attr[1] + u_bar * attr[3] + v_bar * attr[5]
-        slot = jnp.round(attr[12]).astype(jnp.int32)  # (TILE,1)
-        n_slots = coef_ref.shape[1]
+        slot = jnp.round(attr[12]).astype(jnp.int32)  # (1,PX)
+        n_slots = coef_ref.shape[2]
         oh_slot = (
-            slot == jax.lax.broadcasted_iota(jnp.int32, (TILE, n_slots), 1)
-        ).astype(jnp.float32)
-        ce = jnp.dot(oh_slot, coef_ref[0], preferred_element_type=jnp.float32)
+            slot
+            == jax.lax.broadcasted_iota(jnp.int32, (n_slots, PX), 0)
+        ).astype(jnp.float32)  # (T, PX)
+        # per-pixel coefficient rows: (D, T) @ (T, PX) -> (D, PX)
+        ce = jax.lax.dot_general(
+            coef_ref[0], oh_slot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         k = k_terms
-        fu = ce[:, 3:3 + k]
-        fv = ce[:, 3 + k:3 + 2 * k]
+        fu = ce[3:3 + k]
+        fv = ce[3 + k:3 + 2 * k]
         a0 = 3 + 2 * k
-        arg = (2.0 * math.pi) * (fu * ub + fv * vb)
+        arg = (2.0 * math.pi) * (fu * ub + fv * vb)  # (K, PX)
         ca, sa = jnp.cos(arg), jnp.sin(arg)
         textured = (slot >= 0).astype(jnp.float32)
 
         def tex_ch(ch):
-            t = ce[:, ch:ch + 1] + jnp.sum(
-                ce[:, a0 + ch * k:a0 + (ch + 1) * k] * ca
-                + ce[:, a0 + (3 + ch) * k:a0 + (4 + ch) * k] * sa,
-                axis=1, keepdims=True,
+            t = ce[ch:ch + 1] + jnp.sum(
+                ce[a0 + ch * k:a0 + (ch + 1) * k] * ca
+                + ce[a0 + (3 + ch) * k:a0 + (4 + ch) * k] * sa,
+                axis=0, keepdims=True,
             )
             t = jnp.clip(t, 0.0, 1.0)
             return textured * t + (1.0 - textured)
 
-        if phases & 4:
-            tex_r, tex_g, tex_b = tex_ch(0), tex_ch(1), tex_ch(2)
-        else:
-            ones = jnp.ones((TILE, 1), jnp.float32)
-            tex_r, tex_g, tex_b = ones, ones, ones
+        tex_r, tex_g, tex_b = tex_ch(0), tex_ch(1), tex_ch(2)
 
-        # ---- merge + shade (component-wise) -----------------------------
+        # ---- merge + shade ----------------------------------------------
         ent_wins = t_ent < t_tri
         t_hit = jnp.where(ent_wins, t_ent, t_tri)
         cr = jnp.where(ent_wins, ecr, attr[9] * tex_r)
@@ -358,7 +320,7 @@ def _kernel(
             lit = jnp.clip(
                 GL_GLOBAL_AMBIENT + amb_c + light_c * ndotl, 0.0, 1.0
             )
-            v = jnp.where(hit, base * lit, sky_c)
+            v = jnp.where(hit, base * lit, sky_c + 0.0 * ndotl)
             return (
                 jnp.clip(v * 255.0, 0.0, 255.0)
                 .astype(jnp.int32)
@@ -370,8 +332,8 @@ def _kernel(
         b8 = shade_ch(cb, u(22), u(25), u(16))
 
         packed = r8 | (g8 << 8) | (b8 << 16) | jnp.uint32(0xFF000000)
-        rgba_ref[0, pt] = packed.reshape(TILE)
-        depth_ref[0, pt] = t_safe.reshape(TILE)
+        rgba_ref[0, pt] = packed.reshape(PX)
+        depth_ref[0, pt] = t_safe.reshape(PX)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, render_tile, 0)
@@ -379,7 +341,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "k_terms", "phases"),
+    static_argnames=("width", "height", "k_terms"),
 )
 def render_batch_pallas(
     layout_ids,  # (B,) i32
@@ -392,37 +354,28 @@ def render_batch_pallas(
     width: int,
     height: int,
     k_terms: int,
-    phases: int = 7,
 ):
     """Render B envs. Returns rgb (B,H,W,3) u8 and depth (B,H,W,1) f32."""
     b = layout_ids.shape[0]
     s = tri_verts.shape[1]
     e = ent_attr.shape[1]
     hw = width * height
-    pxpad = _round_up(hw, TILE)
-    n_tiles = pxpad // TILE
+    pxpad = _round_up(hw, PX)
+    n_tiles = pxpad // PX
 
-    # pack the bank transposed: (L, 32, S) rows = [v0..v2 xyz | attrs].
-    # Components-in-rows puts triangles along the lane dimension, which
-    # is what the component-wise kernel math needs (no relayouts).
-    tri_pack = jnp.concatenate(
-        [
-            tri_verts.reshape(tri_verts.shape[0], s, 9).transpose(0, 2, 1),
-            tri_attr.transpose(0, 2, 1),
-        ],
-        axis=1,
-    )  # (L, 25, S)
-    # pad rows to 32 and triangles to a TRI_CHUNK multiple so chunk
-    # slices are always in-bounds and lane-aligned (padding rows are
-    # degenerate: det == 0 -> never hit)
+    # triangle pack: (L, S_pad, 32), triangles in sublanes.
     s_pad = _round_up(s, TRI_CHUNK)
-    tri_pack = jnp.pad(tri_pack, ((0, 0), (0, 7), (0, s_pad - s)))
-    tri_attr_pad = jnp.pad(tri_attr, ((0, 0), (0, s_pad - s), (0, 0)))
+    tri_pack = jnp.concatenate(
+        [tri_verts.reshape(tri_verts.shape[0], s, 9), tri_attr], axis=2
+    )  # (L, S, 25)
+    tri_pack = jnp.pad(tri_pack, ((0, 0), (0, s_pad - s), (0, 7)))
+
+    coeffs_t = coeffs.transpose(0, 2, 1)  # (B, D, T)
 
     kernel = functools.partial(
         _kernel,
         width=width, height=height, k_terms=k_terms,
-        num_tris=s_pad, num_ents=e, n_tiles=n_tiles, phases=phases,
+        num_tris=s_pad, num_ents=e, n_tiles=n_tiles,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -430,11 +383,7 @@ def render_batch_pallas(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
-                (1, 32, s_pad), lambda bi, lids: (lids[bi], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, s_pad, 16), lambda bi, lids: (lids[bi], 0, 0),
+                (1, s_pad, 32), lambda bi, lids: (lids[bi], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -446,15 +395,15 @@ def render_batch_pallas(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, coeffs.shape[1], coeffs.shape[2]),
+                (1, coeffs_t.shape[1], coeffs_t.shape[2]),
                 lambda bi, lids: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_tiles, TILE), lambda bi, lids: (bi, 0, 0),
+            pl.BlockSpec((1, n_tiles, PX), lambda bi, lids: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles, TILE), lambda bi, lids: (bi, 0, 0),
+            pl.BlockSpec((1, n_tiles, PX), lambda bi, lids: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -463,10 +412,10 @@ def render_batch_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_tiles, TILE), jnp.uint32),
-            jax.ShapeDtypeStruct((b, n_tiles, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, PX), jnp.uint32),
+            jax.ShapeDtypeStruct((b, n_tiles, PX), jnp.float32),
         ],
-    )(layout_ids, tri_pack, tri_attr_pad, uniforms, ent_attr, coeffs)
+    )(layout_ids, tri_pack, uniforms, ent_attr, coeffs_t)
 
     rgba = rgba.reshape(b, pxpad)[:, :hw]
     depth = depth.reshape(b, pxpad)[:, :hw]

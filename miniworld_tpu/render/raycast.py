@@ -199,26 +199,38 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     """
     n_slots = coeffs_env.shape[0]
     slot_i = jnp.round(slot).astype(jnp.int32)
-    # one-hot over texture slots: (HW, T) @ (T, D) — T is tiny
-    oh = (slot_i[:, None] == jnp.arange(n_slots)[None, :]).astype(jnp.float32)
-    ce = jax.lax.dot_general(
-        oh, coeffs_env,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (HW, D)
     k = k_terms
-    dc = ce[:, 0:3]
-    fu = ce[:, 3:3 + k]
-    fv = ce[:, 3 + k:3 + 2 * k]
     a0 = 3 + 2 * k
-    arg = (2.0 * math.pi) * (fu * uv[:, 0:1] + fv * uv[:, 1:2])  # (HW, K)
-    ca, sa = jnp.cos(arg), jnp.sin(arg)
-    texel = []
-    for ch in range(3):
-        a_ch = ce[:, a0 + ch * k: a0 + (ch + 1) * k]
-        b_ch = ce[:, a0 + 3 * k + ch * k: a0 + 3 * k + (ch + 1) * k]
-        texel.append(dc[:, ch] + jnp.sum(a_ch * ca + b_ch * sa, axis=1))
-    texel = jnp.stack(texel, axis=1)
+
+    # Scan over texture slots with mask-accumulate: selecting the
+    # per-pixel coefficient matrix up front costs O(HW * 8K) memory per
+    # env (the HBM peak at large batch); per-slot evaluation keeps the
+    # live set at O(HW * K) and T is small.
+    def body(acc, args):
+        t_idx, row = args
+        fu = row[3:3 + k][None, :]
+        fv = row[3 + k:3 + 2 * k][None, :]
+        arg = (2.0 * math.pi) * (fu * uv[:, 0:1] + fv * uv[:, 1:2])
+        ca, sa = jnp.cos(arg), jnp.sin(arg)
+        texel = jnp.stack(
+            [
+                row[ch]
+                + jnp.sum(
+                    row[a0 + ch * k:a0 + (ch + 1) * k][None, :] * ca
+                    + row[a0 + (3 + ch) * k:a0 + (4 + ch) * k][None, :] * sa,
+                    axis=1,
+                )
+                for ch in range(3)
+            ],
+            axis=1,
+        )
+        mask = (slot_i == t_idx)[:, None]
+        return jnp.where(mask, texel, acc), None
+
+    init = jnp.ones((uv.shape[0], 3), jnp.float32)  # flat-color default
+    texel, _ = jax.lax.scan(
+        body, init, (jnp.arange(n_slots, dtype=jnp.int32), coeffs_env)
+    )
     textured = slot_i >= 0
     return jnp.where(textured[:, None], jnp.clip(texel, 0.0, 1.0), 1.0)
 

@@ -111,19 +111,26 @@ class MiniWorldVec:
         self.obs_height = obs_height or spec.obs_height
         self.domain_rand = domain_rand
         self.with_depth = with_depth
-        self.tri_chunk = tri_chunk
         self.place_budget = place_budget
+        # Auto-size the triangle chunk: the render scan materializes a
+        # few (B, H*W, tri_chunk) f32 intermediates; keep their sum
+        # under ~6 GB so large batches fit HBM.
+        hw = self.obs_width * self.obs_height
+        budget_elems = 6e9 / (4 * 4)
+        auto = int(budget_elems / max(num_envs * hw, 1))
+        self.tri_chunk = max(16, min(tri_chunk, (auto // 16) * 16 or 16))
 
         assert tex_mode in ("fourier", "nearest"), tex_mode
         self.tex_mode = tex_mode
         self.fourier_k = fourier_k
-        # Fused Pallas kernel on TPU; XLA raycaster elsewhere (and for
-        # the exact-texture mode, which the kernel does not implement).
+        # The XLA raycaster is the default everywhere: the experimental
+        # fused Pallas kernel (render/pallas_kernel2.py) is currently
+        # SLOWER than XLA on v5e (105-144ms vs 60ms per 1024-env step;
+        # Mosaic's lowering of the per-pixel working set dominates) and
+        # is kept for further kernel work, opt-in via
+        # render_backend="pallas".
         if render_backend == "auto":
-            on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            render_backend = (
-                "pallas" if (on_tpu and tex_mode == "fourier") else "xla"
-            )
+            render_backend = "xla"
         assert render_backend in ("pallas", "xla"), render_backend
         self.render_backend = render_backend
         bank_np, tex_np = build_bank(spec, bank_seed, tex_mode, fourier_k)
@@ -394,7 +401,7 @@ class MiniWorldVec:
                 bank, atlas, state
             )
         from miniworld_tpu.ops import geom
-        from miniworld_tpu.render.pallas_kernel import render_batch_pallas
+        from miniworld_tpu.render.pallas_kernel2 import render_batch_pallas
 
         def pack_one(s):
             fwd, up, right = geom.cam_basis(s.dir, s.cam_pitch)
