@@ -126,16 +126,20 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
         g_v = jnp.cross(s, e1)  # v*det = d . g_v
         t_num = jnp.sum(e2 * g_v, axis=-1)  # (TC,): t*det (pixel-free)
 
-        # Three MXU contractions: (HW,3) @ (3,TC)
-        rhs = jnp.stack([g_det, g_u, g_v], axis=0)  # (3, TC, 3)
-        prods = jax.lax.dot_general(
-            dirs, rhs,
-            dimension_numbers=(((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (HW, 3, TC)
-        det = prods[:, 0, :]
-        u_num = prods[:, 1, :]
-        v_num = prods[:, 2, :]
+        # Per-(pixel,tri) contractions as broadcast FMAs: K=3 "matmuls"
+        # lower to convolution fusions whose outputs need layout copies
+        # (~1ms each per step, profiled); the elementwise form fuses
+        # straight into the hit-mask computation.
+        def contract(g):
+            return (
+                dirs[:, 0:1] * g[None, :, 0]
+                + dirs[:, 1:2] * g[None, :, 1]
+                + dirs[:, 2:3] * g[None, :, 2]
+            )
+
+        det = contract(g_det)
+        u_num = contract(g_u)
+        v_num = contract(g_v)
 
         # det > 0 <=> front-facing (GL_CULL_FACE; miniworld.py:513)
         inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
@@ -152,10 +156,11 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
         t = jnp.where(hit, t, jnp.inf)
 
         t_min = jnp.min(t, axis=1)  # (HW,)
-        # one-hot of the first within-chunk winner
-        oh = (t == t_min[:, None]) & hit
-        oh = oh & (jnp.cumsum(oh.astype(jnp.int32), axis=1) == 1)
-        ohf = oh.astype(jnp.float32)
+        # one-hot of the within-chunk winner; exact-t ties are weight-
+        # normalized (a cumsum first-winner tiebreak materializes an
+        # (HW,TC) int array — measured 2ms/step; ties are GL z-fights)
+        ohf = ((t == t_min[:, None]) & hit).astype(jnp.float32)
+        ohf = ohf / jnp.maximum(jnp.sum(ohf, axis=1, keepdims=True), 1.0)
         # attribute resolve: (HW, TC) @ (TC, 16) — MXU, no gather
         sel = jax.lax.dot_general(
             ohf, attrs,
@@ -202,35 +207,45 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     k = k_terms
     a0 = 3 + 2 * k
 
-    # Scan over texture slots with mask-accumulate: selecting the
-    # per-pixel coefficient matrix up front costs O(HW * 8K) memory per
-    # env (the HBM peak at large batch); per-slot evaluation keeps the
-    # live set at O(HW * K) and T is small.
-    def body(acc, args):
-        t_idx, row = args
-        fu = row[3:3 + k][None, :]
-        fv = row[3 + k:3 + 2 * k][None, :]
-        arg = (2.0 * math.pi) * (fu * uv[:, 0:1] + fv * uv[:, 1:2])
-        ca, sa = jnp.cos(arg), jnp.sin(arg)
-        texel = jnp.stack(
-            [
-                row[ch]
-                + jnp.sum(
-                    row[a0 + ch * k:a0 + (ch + 1) * k][None, :] * ca
-                    + row[a0 + (3 + ch) * k:a0 + (4 + ch) * k][None, :] * sa,
-                    axis=1,
-                )
-                for ch in range(3)
-            ],
-            axis=1,
-        )
-        mask = (slot_i == t_idx)[:, None]
-        return jnp.where(mask, texel, acc), None
-
-    init = jnp.ones((uv.shape[0], 3), jnp.float32)  # flat-color default
-    texel, _ = jax.lax.scan(
-        body, init, (jnp.arange(n_slots, dtype=jnp.int32), coeffs_env)
+    # Structure chosen from profiling on v5e:
+    #  * cos/sin are computed ONCE per pixel on the winning texture's
+    #    frequencies (selected by a small one-hot matmul) — per-slot
+    #    re-evaluation multiplied the dominant transcendental cost by T;
+    #  * the amplitude contractions run as ONE MXU matmul
+    #    (HW,2K)@(2K,3T) — lane-wise jnp.sum reductions of (HW,K)
+    #    lowered pathologically (~100x) on TPU;
+    #  * per-pixel slot selection of the 3T sums is a tiny masked sum.
+    oh = (slot_i[:, None] == jnp.arange(n_slots)[None, :]).astype(jnp.float32)
+    # frequency selection in bf16: frequencies are small integers
+    # (exact in bf16 up to 256) and the half-width intermediate halves
+    # the HBM traffic of this memory-bound op
+    freqs = jax.lax.dot_general(
+        oh.astype(jnp.bfloat16),
+        coeffs_env[:, 3:3 + 2 * k].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.bfloat16,
+    ).astype(jnp.float32)  # (HW, 2K) selected [fu | fv]
+    arg = (2.0 * math.pi) * (
+        freqs[:, :k] * uv[:, 0:1] + freqs[:, k:] * uv[:, 1:2]
     )
+    m = jnp.concatenate([jnp.cos(arg), jnp.sin(arg)], axis=1)  # (HW, 2K)
+
+    # W: (T*3, 2K) rows = [A_tc | B_tc] for slot t, channel c
+    amps = coeffs_env[:, a0:a0 + 6 * k]  # (T, 6K) = [A(3K) | B(3K)]
+    a_rows = amps[:, :3 * k].reshape(n_slots, 3, k)
+    b_rows = amps[:, 3 * k:].reshape(n_slots, 3, k)
+    w = jnp.concatenate([a_rows, b_rows], axis=2).reshape(n_slots * 3, 2 * k)
+    sums = jax.lax.dot_general(
+        m, w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(-1, n_slots, 3)  # (HW, T, 3)
+    texel = jnp.sum(sums * oh[:, :, None], axis=1)  # select slot
+    texel = texel + jax.lax.dot_general(
+        oh, coeffs_env[:, 0:3],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # + dc
     textured = slot_i >= 0
     return jnp.where(textured[:, None], jnp.clip(texel, 0.0, 1.0), 1.0)
 
