@@ -440,6 +440,18 @@ class MiniWorldGym(gym.Env):
             agent_radius=self.agent_radius,
         ))
 
+    def get_visible_ents(self):
+        """Entities visible from the camera (miniworld.py:1576-1670).
+
+        Returns the set of HostEntity objects, like the reference
+        returns a set of Entity instances.
+        """
+        from miniworld_tpu.render.visibility import visible_ents
+
+        bank, atlas, state = self._build_render_state()
+        mask = np.asarray(visible_ents(bank, state))
+        return {e for e, v in zip(self.entities, mask) if v}
+
     def render(self):
         if self.render_mode == "rgb_array":
             return self.render_obs()

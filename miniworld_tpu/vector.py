@@ -444,6 +444,17 @@ class MiniWorldVec:
         )
         return jax.vmap(self._wrap_obs_one)(rgb, depth, state)
 
+    def visible_ents(self, state):
+        """(B, E) bool visibility mask (get_visible_ents parity,
+        miniworld/miniworld.py:1576-1670)."""
+        from miniworld_tpu.render.visibility import visible_ents
+
+        if not hasattr(self, "_vis_jit"):
+            self._vis_jit = jax.jit(
+                jax.vmap(visible_ents, in_axes=(None, 0))
+            )
+        return self._vis_jit(self._bank, state)
+
     # -- public API -------------------------------------------------------------
 
     def reset(self, key: jax.Array):
@@ -516,13 +527,16 @@ class MiniWorldVec:
                     self._step_one, in_axes=(None, 0, 0)
                 )(bank, state, actions)
                 obs, depth = self._render_batch(bank, atlas, state)
+                rgb_leaf = jax.tree.leaves(obs)[0]
                 out = {
                     "reward": jnp.sum(reward),
                     "dones": jnp.sum(done),
                     # obs checksum: forces rendering to be materialized
-                    # even when observations aren't returned.
+                    # even when observations aren't returned; a sparse
+                    # pixel sample keeps the data dependency without
+                    # paying a full-image reduction per step (0.3ms).
                     "obs_sum": jnp.sum(
-                        jax.tree.leaves(obs)[0].astype(jnp.uint32)
+                        rgb_leaf[:, ::8, ::8].astype(jnp.uint32)
                     ),
                 }
                 if return_obs:
