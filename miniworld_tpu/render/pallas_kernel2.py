@@ -37,7 +37,7 @@ Contracts:
     [0:3] pos [3] dir [4:7] size [7] height [8:11] color [11] shape
     [12] active
   tri pack (L, S_pad, 32) f32: cols 0-8 v0/v1/v2 xyz, cols 9-24 attrs
-    ([uv0|du|dv|normal|color|slot|pad], raycast.ATTR layout).
+    ([A(6)|b(2)|normal|color|slot|one], raycast.ATTR layout).
   coeffs (B, D, T) f32: transposed Fourier tables (tex_map applied).
   outputs rgba (B, NT, 128) u32 0xAABBGGRR + depth f32.
 """
@@ -101,7 +101,7 @@ def _kernel(
 
         # ---- triangle pass --------------------------------------------
         def tri_body(c, carry):
-            t_best, attr_best, u_best, v_best = carry
+            t_best, attr_best = carry
             start = c * TRI_CHUNK
 
             def col(k):
@@ -139,20 +139,18 @@ def _kernel(
                 & (t > NEAR)
                 & (t < FAR)
             )
-            u_mat = u_num * inv_det
-            v_mat = v_num * inv_det
             t = jnp.where(hit, t, jnp.inf)
             t_min = jnp.min(t, axis=0, keepdims=True)  # (1, PX)
             oh = ((t == t_min) & hit).astype(jnp.float32)
-            oh = oh / jnp.maximum(jnp.sum(oh, axis=0, keepdims=True), 1.0)
 
-            # attribute resolve: 16 sublane reductions (TC,PX) -> (1,PX)
-            sel = tuple(
+            # attribute resolve: 16 sublane reductions (TC,PX) -> (1,PX);
+            # the ones column (15) normalizes exact ties
+            sel = [
                 jnp.sum(oh * col(9 + k_), axis=0, keepdims=True)
                 for k_ in range(16)
-            )
-            u_sel = jnp.sum(oh * u_mat, axis=0, keepdims=True)
-            v_sel = jnp.sum(oh * v_mat, axis=0, keepdims=True)
+            ]
+            inv_n = 1.0 / jnp.maximum(sel[15], 1.0)
+            sel = tuple(sv * inv_n for sv in sel)
 
             closer = t_min < t_best
             return (
@@ -161,20 +159,14 @@ def _kernel(
                     jnp.where(closer, sel[k_], attr_best[k_])
                     for k_ in range(16)
                 ),
-                jnp.where(closer, u_sel, u_best),
-                jnp.where(closer, v_sel, v_best),
             )
 
         zrow = jnp.zeros((1, PX), jnp.float32)
         init_tri = (
             jnp.full((1, PX), jnp.inf, jnp.float32),
             (zrow,) * 16,
-            zrow,
-            zrow,
         )
-        t_tri, attr, u_bar, v_bar = jax.lax.fori_loop(
-            0, n_chunks, tri_body, init_tri
-        )
+        t_tri, attr = jax.lax.fori_loop(0, n_chunks, tri_body, init_tri)
 
         # ---- entity pass (component-wise on (1,PX) rows) ---------------
         def ent_body(e, carry):
@@ -262,10 +254,14 @@ def _kernel(
             0, num_ents, ent_body, init_ent
         )
 
-        # ---- texture (Fourier) -----------------------------------------
-        ub = attr[0] + u_bar * attr[2] + v_bar * attr[4]
-        vb = attr[1] + u_bar * attr[3] + v_bar * attr[5]
-        slot = jnp.round(attr[12]).astype(jnp.int32)  # (1,PX)
+        # ---- texture (Fourier); attr = [A(6)|b(2)|n(3)|col(3)|slot|1]
+        t_uv = jnp.where(t_tri < jnp.inf, t_tri, 0.0)
+        hx = ox + t_uv * dx
+        hy = oy + t_uv * dy
+        hz = oz + t_uv * dz
+        ub = attr[0] * hx + attr[1] * hy + attr[2] * hz + attr[6]
+        vb = attr[3] * hx + attr[4] * hy + attr[5] * hz + attr[7]
+        slot = jnp.round(attr[14]).astype(jnp.int32)  # (1,PX)
         n_slots = coef_ref.shape[2]
         oh_slot = (
             slot
@@ -299,12 +295,12 @@ def _kernel(
         # ---- merge + shade ----------------------------------------------
         ent_wins = t_ent < t_tri
         t_hit = jnp.where(ent_wins, t_ent, t_tri)
-        cr = jnp.where(ent_wins, ecr, attr[9] * tex_r)
-        cg = jnp.where(ent_wins, ecg, attr[10] * tex_g)
-        cb = jnp.where(ent_wins, ecb, attr[11] * tex_b)
-        nx = jnp.where(ent_wins, enx, attr[6])
-        ny = jnp.where(ent_wins, eny, attr[7])
-        nz = jnp.where(ent_wins, enz, attr[8])
+        cr = jnp.where(ent_wins, ecr, attr[11] * tex_r)
+        cg = jnp.where(ent_wins, ecg, attr[12] * tex_g)
+        cb = jnp.where(ent_wins, ecb, attr[13] * tex_b)
+        nx = jnp.where(ent_wins, enx, attr[8])
+        ny = jnp.where(ent_wins, eny, attr[9])
+        nz = jnp.where(ent_wins, enz, attr[10])
 
         hit = t_hit < jnp.inf
         t_safe = jnp.where(hit, t_hit, FAR)

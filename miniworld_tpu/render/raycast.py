@@ -61,10 +61,11 @@ FAR = 100.0
 GL_GLOBAL_AMBIENT = 0.2
 
 # Packed per-triangle attribute row (Layout.tri_attr):
-#   [uv0(2) | du(2) | dv(2) | normal(3) | color(3) | tex_slot(1) | pad]
+#   [A(6) | b(2) | normal(3) | color(3) | tex_slot(1) | one]
+# (A, b) is the triangle's affine texture map uv = A @ p + b.
 ATTR_DIM = 16
-_UV0, _DU, _DV = slice(0, 2), slice(2, 4), slice(4, 6)
-_NRM, _COL, _SLOT = slice(6, 9), slice(9, 12), 12
+_AMAP, _BMAP = slice(0, 6), slice(6, 8)
+_NRM, _COL, _SLOT, _ONE = slice(8, 11), slice(11, 14), 14, 15
 
 
 def camera_rays(state, width: int, height: int):
@@ -102,7 +103,7 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
     hw = dirs.shape[0]
 
     def body(carry, c):
-        t_best, attr_best, u_best, v_best = carry
+        t_best, attr_best = carry
         start = c * tri_chunk
         # clamp the last chunk into range (S padded >= chunk not required)
         start = jnp.minimum(start, num_tris - tri_chunk)
@@ -126,24 +127,26 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
         g_v = jnp.cross(s, e1)  # v*det = d . g_v
         t_num = jnp.sum(e2 * g_v, axis=-1)  # (TC,): t*det (pixel-free)
 
-        # Per-(pixel,tri) contractions as broadcast FMAs: K=3 "matmuls"
-        # lower to convolution fusions whose outputs need layout copies
-        # (~1ms each per step, profiled); the elementwise form fuses
-        # straight into the hit-mask computation.
+        # Per-(tri,pixel) contractions as broadcast FMAs in (TC, HW)
+        # orientation: triangles lead, pixels minor — the z-buffer
+        # reduce then runs over the leading axis (lane-wise reductions
+        # over a TC minor axis measured ~6.5ms/step on FourRooms).
+        # K=3 dots are avoided entirely (their convolution-fusion
+        # outputs need layout copies costing 2x the math).
         def contract(g):
             return (
-                dirs[:, 0:1] * g[None, :, 0]
-                + dirs[:, 1:2] * g[None, :, 1]
-                + dirs[:, 2:3] * g[None, :, 2]
+                g[:, 0:1] * dirs[None, :, 0]
+                + g[:, 1:2] * dirs[None, :, 1]
+                + g[:, 2:3] * dirs[None, :, 2]
             )
 
-        det = contract(g_det)
+        det = contract(g_det)  # (TC, HW)
         u_num = contract(g_u)
         v_num = contract(g_v)
 
         # det > 0 <=> front-facing (GL_CULL_FACE; miniworld.py:513)
         inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
-        t = t_num[None, :] * inv_det
+        t = t_num[:, None] * inv_det
         hit = (
             (det > 1e-12)
             & (u_num >= 0.0)
@@ -151,43 +154,37 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
             & (u_num + v_num <= det)
             & (t > NEAR)
             & (t < FAR)
-            & mask[None, :]
+            & mask[:, None]
         )
         t = jnp.where(hit, t, jnp.inf)
 
-        t_min = jnp.min(t, axis=1)  # (HW,)
-        # one-hot of the within-chunk winner; exact-t ties are weight-
-        # normalized (a cumsum first-winner tiebreak materializes an
-        # (HW,TC) int array — measured 2ms/step; ties are GL z-fights)
-        ohf = ((t == t_min[:, None]) & hit).astype(jnp.float32)
-        ohf = ohf / jnp.maximum(jnp.sum(ohf, axis=1, keepdims=True), 1.0)
-        # attribute resolve: (HW, TC) @ (TC, 16) — MXU, no gather
+        t_min = jnp.min(t, axis=0)  # (HW,)
+        # one-hot of the within-chunk winner; the attr matmul's ones
+        # column returns the row sum for free, normalizing exact ties
+        # after the contraction (ties are GL z-fights)
+        ohf = ((t == t_min[None, :]) & hit).astype(jnp.float32)
+        # attribute resolve: (TC, HW)^T @ (TC, 16) — MXU, no gather
         sel = jax.lax.dot_general(
             ohf, attrs,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        u_sel = jnp.sum(ohf * (u_num * inv_det), axis=1)
-        v_sel = jnp.sum(ohf * (v_num * inv_det), axis=1)
+        )  # (HW, 16)
+        sel = sel / jnp.maximum(sel[:, _ONE:_ONE + 1], 1.0)
 
         closer = t_min < t_best
         return (
             jnp.where(closer, t_min, t_best),
             jnp.where(closer[:, None], sel, attr_best),
-            jnp.where(closer, u_sel, u_best),
-            jnp.where(closer, v_sel, v_best),
         ), None
 
     init = (
         jnp.full(hw, jnp.inf, jnp.float32),
         jnp.zeros((hw, ATTR_DIM), jnp.float32),
-        jnp.zeros(hw, jnp.float32),
-        jnp.zeros(hw, jnp.float32),
     )
-    (t_best, attr_best, u_best, v_best), _ = jax.lax.scan(
+    (t_best, attr_best), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
-    return t_best, attr_best, u_best, v_best
+    return t_best, attr_best
 
 
 def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
@@ -305,7 +302,10 @@ def _entity_pass(bank, layout_id, state, origin, dirs):
         r_vis = 0.5 * height
         oc = origin - center
         a = jnp.sum(dirs * dirs, axis=1)
-        b = 2.0 * (dirs @ oc)
+        # matvecs lower as slow lane reductions; explicit FMAs fuse
+        b = 2.0 * (
+            dirs[:, 0] * oc[0] + dirs[:, 1] * oc[1] + dirs[:, 2] * oc[2]
+        )
         cc = jnp.dot(oc, oc) - r_vis * r_vis
         disc = b * b - 4.0 * a * cc
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -325,7 +325,13 @@ def _entity_pass(bank, layout_id, state, origin, dirs):
 
         o_rel = origin - pos
         o_l = jnp.stack([o_rel @ ax_x, o_rel @ ax_y, o_rel @ ax_z])
-        d_l = jnp.stack([dirs @ ax_x, dirs @ ax_y, dirs @ ax_z], axis=1)  # (HW,3)
+
+        def dot3(axv):
+            return (
+                dirs[:, 0] * axv[0] + dirs[:, 1] * axv[1] + dirs[:, 2] * axv[2]
+            )
+
+        d_l = jnp.stack([dot3(ax_x), dot3(ax_y), dot3(ax_z)], axis=1)  # (HW,3)
 
         half = jnp.stack([size[0] * 0.5, 0.0 * size[1], size[2] * 0.5])
         lo = jnp.stack([-half[0], 0.0, -half[2]])
@@ -409,10 +415,22 @@ def render_rgbd(
     )
     dirs = camera_rays(state, width, height)  # (HW,3)
 
-    t_tri, attr, u_bar, v_bar = _tri_pass(bank, layout_id, origin, dirs, tri_chunk)
+    t_tri, attr = _tri_pass(bank, layout_id, origin, dirs, tri_chunk)
     t_ent, col_ent, n_ent = _entity_pass(bank, layout_id, state, origin, dirs)
 
-    uv = attr[:, _UV0] + u_bar[:, None] * attr[:, _DU] + v_bar[:, None] * attr[:, _DV]
+    # UV from the affine texture map at the triangle hit point
+    t_uv = jnp.where(jnp.isfinite(t_tri), t_tri, 0.0)
+    hit_tri_p = origin[None, :] + t_uv[:, None] * dirs
+    uv = (
+        jnp.stack(
+            [
+                jnp.sum(attr[:, 0:3] * hit_tri_p, axis=1),
+                jnp.sum(attr[:, 3:6] * hit_tri_p, axis=1),
+            ],
+            axis=1,
+        )
+        + attr[:, _BMAP]
+    )
     if tex["mode"] == "fourier":
         # per-env texture table with domain-randomized variants applied:
         # a tiny (T,) row gather, not a per-pixel one

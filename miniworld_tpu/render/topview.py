@@ -66,13 +66,21 @@ def render_top_view(
     # triangle pass with per-pixel origins: reuse the chunk scan by
     # shifting each ray to a shared origin? Ortho rays differ in origin,
     # not direction — run the scan math with per-pixel origin instead.
-    t_tri, attr, u_bar, v_bar = _tri_pass_ortho(bank, state.layout_id, origins, down)
+    t_tri, attr = _tri_pass_ortho(bank, state.layout_id, origins, down)
     t_ent, col_ent, n_ent = _entity_pass_ortho(bank, state, origins, down)
 
+    # UV from the affine texture map at the hit point
+    t_uv = jnp.where(jnp.isfinite(t_tri), t_tri, 0.0)
+    hit_tri_p = origins + t_uv[:, None] * down
     uv = (
-        attr[:, raycast._UV0]
-        + u_bar[:, None] * attr[:, raycast._DU]
-        + v_bar[:, None] * attr[:, raycast._DV]
+        jnp.stack(
+            [
+                jnp.sum(attr[:, 0:3] * hit_tri_p, axis=1),
+                jnp.sum(attr[:, 3:6] * hit_tri_p, axis=1),
+            ],
+            axis=1,
+        )
+        + attr[:, raycast._BMAP]
     )
     if tex["mode"] == "fourier":
         coeffs_env = tex["coeffs"][state.tex_map]
@@ -124,7 +132,7 @@ def _tri_pass_ortho(bank, layout_id, origins, dirs):
     hw = dirs.shape[0]
 
     def body(carry, c):
-        t_best, attr_best, u_best, v_best = carry
+        t_best, attr_best = carry
         start = jnp.minimum(c * tri_chunk, num_tris - tri_chunk)
         verts = jax.lax.dynamic_slice(
             bank.tri_verts, (layout_id, start, 0, 0), (1, tri_chunk, 3, 3)
@@ -169,30 +177,23 @@ def _tri_pass_ortho(bank, layout_id, origins, dirs):
         )
         t = jnp.where(hit, t, jnp.inf)
         t_min = jnp.min(t, axis=1)
-        oh = (t == t_min[:, None]) & hit
-        oh = oh & (jnp.cumsum(oh.astype(jnp.int32), axis=1) == 1)
-        ohf = oh.astype(jnp.float32)
+        ohf = ((t == t_min[:, None]) & hit).astype(jnp.float32)
         sel = ohf @ attrs
-        u_sel = jnp.sum(ohf * u, axis=1)
-        v_sel = jnp.sum(ohf * v, axis=1)
+        sel = sel / jnp.maximum(sel[:, raycast._ONE:raycast._ONE + 1], 1.0)
         closer = t_min < t_best
         return (
             jnp.where(closer, t_min, t_best),
             jnp.where(closer[:, None], sel, attr_best),
-            jnp.where(closer, u_sel, u_best),
-            jnp.where(closer, v_sel, v_best),
         ), None
 
     init = (
         jnp.full(hw, jnp.inf, jnp.float32),
         jnp.zeros((hw, raycast.ATTR_DIM), jnp.float32),
-        jnp.zeros(hw, jnp.float32),
-        jnp.zeros(hw, jnp.float32),
     )
-    (t_best, attr_best, u_best, v_best), _ = jax.lax.scan(
+    (t_best, attr_best), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
-    return t_best, attr_best, u_best, v_best
+    return t_best, attr_best
 
 
 def _entity_pass_ortho(bank, state, origins, dirs):

@@ -192,17 +192,35 @@ def compile_world(world: World) -> Layout:
     tri_color = np.asarray(all_colors, dtype=np.float32).reshape(S, 3)
     tri_mask = np.ones(S, dtype=bool)
 
-    # packed render attributes: [uv0 | du | dv | normal | color | slot | pad]
-    uv0 = tri_uv[:, 0, :]
-    duv1 = tri_uv[:, 1, :] - uv0
-    duv2 = tri_uv[:, 2, :] - uv0
+    # packed render attributes: [A(6) | b(2) | normal(3) | color(3) |
+    # slot | one]. (A, b) is the triangle's affine texture map
+    # uv = A @ p + b for points p on its plane, so the renderer
+    # derives UVs from the hit point instead of selecting per-pixel
+    # barycentrics (two (pixels x chunk) lane reductions per chunk —
+    # measured 19ms/step at 1024 envs). The trailing ones column lets
+    # the attribute-resolve matmul also return the one-hot row sum for
+    # free (exact-tie normalization).
+    v0 = tri_verts[:, 0].astype(np.float64)
+    e1 = tri_verts[:, 1].astype(np.float64) - v0
+    e2 = tri_verts[:, 2].astype(np.float64) - v0
+    uv0 = tri_uv[:, 0, :].astype(np.float64)
+    duv1 = tri_uv[:, 1, :].astype(np.float64) - uv0
+    duv2 = tri_uv[:, 2, :].astype(np.float64) - uv0
+    l11 = np.sum(e1 * e1, axis=1)
+    l22 = np.sum(e2 * e2, axis=1)
+    l12 = np.sum(e1 * e2, axis=1)
+    den = np.maximum(l11 * l22 - l12 * l12, 1e-18)
+    gu = (l22[:, None] * e1 - l12[:, None] * e2) / den[:, None]
+    gv = (l11[:, None] * e2 - l12[:, None] * e1) / den[:, None]
+    a_map = duv1[:, :, None] * gu[:, None, :] + duv2[:, :, None] * gv[:, None, :]
+    b_map = uv0 - np.einsum("tij,tj->ti", a_map, v0)
     tri_attr = np.zeros((S, 16), dtype=np.float32)
-    tri_attr[:, 0:2] = uv0
-    tri_attr[:, 2:4] = duv1
-    tri_attr[:, 4:6] = duv2
-    tri_attr[:, 6:9] = tri_normal
-    tri_attr[:, 9:12] = tri_color
-    tri_attr[:, 12] = tri_tex.astype(np.float32)
+    tri_attr[:, 0:6] = a_map.reshape(S, 6)
+    tri_attr[:, 6:8] = b_map
+    tri_attr[:, 8:11] = tri_normal
+    tri_attr[:, 11:14] = tri_color
+    tri_attr[:, 14] = tri_tex.astype(np.float32)
+    tri_attr[:, 15] = 1.0
 
     segs = world._wall_segs.astype(np.float32)
     seg_mask = np.ones(segs.shape[0], dtype=bool)
