@@ -26,8 +26,8 @@ TARGET = 1_000_000.0  # north-star env-steps/s per host (BASELINE.json)
 
 
 def main():
-    env_id = sys.argv[1] if len(sys.argv) > 1 else "MiniWorld-FourRooms-v0"
-    num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    env_id = sys.argv[1] if len(sys.argv) > 1 else "MiniWorld-Hallway-v0"
+    num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     horizon = int(sys.argv[3]) if len(sys.argv) > 3 else 50
 
     from miniworld_tpu import MiniWorldVec

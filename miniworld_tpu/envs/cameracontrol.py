@@ -80,6 +80,11 @@ class CameraControl(EnvSpec):
     override_physics: bool = True
     num_actions: int = 6  # Discrete(6), no 6-D table
     key_slot: int = 0
+    # HUD buttons -> discrete actions (cameracontrol.py:125-132)
+    control_action_map = {
+        "pan_left": 0, "pan_right": 1, "tilt_up": 2, "tilt_down": 3,
+        "zoom_in": 4, "zoom_out": 5,
+    }
 
     def build(self, world, rng, layout_rng=None, layout_idx=0):
         world.add_rect_room(min_x=0, max_x=self.size, min_z=0, max_z=self.size)

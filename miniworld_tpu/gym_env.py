@@ -81,6 +81,7 @@ class MiniWorldGym(gym.Env):
         domain_rand: bool = False,
         render_mode: Optional[str] = None,
         max_episode_steps: Optional[int] = None,
+        show_controls: bool = False,
         **spec_kwargs,
     ):
         if isinstance(spec, str):
@@ -124,6 +125,7 @@ class MiniWorldGym(gym.Env):
         else:
             self.observation_space = img_space
 
+        self.show_controls = show_controls
         # agent state (entity.py:455-529)
         self.agent_radius = spec.agent_radius
         self._render_cache = None
@@ -440,6 +442,34 @@ class MiniWorldGym(gym.Env):
             agent_radius=self.agent_radius,
         ))
 
+    @property
+    def control_boxes(self):
+        """name -> pixel rect of clickable HUD buttons
+        (miniworld.py:1389-1391, 1500-1504)."""
+        from miniworld_tpu import hud
+
+        amap = getattr(self.spec_def, "control_action_map", None)
+        labels = list(amap) if amap else [n for n, _ in hud.DEFAULT_CONTROLS]
+        return hud.control_layout(self.obs_width, self.obs_height, labels)
+
+    def control_action(self, name):
+        """Action for a clicked HUD button, or None."""
+        from miniworld_tpu import hud
+
+        amap = getattr(self.spec_def, "control_action_map", None)
+        if amap:
+            return amap[name]  # discrete action index
+        for label, (comp, val) in hud.DEFAULT_CONTROLS:
+            if label == name:
+                vec = np.zeros(6, np.float32)
+                vec[comp] = val
+                if self._discrete_actions is not None:
+                    from miniworld_tpu.manual_control import project_discrete
+
+                    return project_discrete(vec, self._discrete_actions)
+                return vec
+        return None
+
     def get_visible_ents(self):
         """Entities visible from the camera (miniworld.py:1576-1670).
 
@@ -454,7 +484,12 @@ class MiniWorldGym(gym.Env):
 
     def render(self):
         if self.render_mode == "rgb_array":
-            return self.render_obs()
+            frame = self.render_obs()
+            if self.show_controls:
+                from miniworld_tpu import hud
+
+                frame = hud.draw_controls(frame, self.control_boxes)
+            return frame
         return None
 
     def close(self):

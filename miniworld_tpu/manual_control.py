@@ -169,6 +169,22 @@ class ManualControl:
                         action = np.array([mx / w, my / h], np.float32)
                         obs, r, term, trunc, info = env.step(action)
                         continue
+                    # clickable HUD buttons (manual_control.py:515-531)
+                    from miniworld_tpu import hud
+
+                    mx, my = event.pos
+                    name = hud.hit_test(
+                        u.control_boxes,
+                        int(mx / self.window_scale),
+                        int(my / self.window_scale),
+                    )
+                    if name is not None:
+                        act = u.control_action(name)
+                        if act is not None:
+                            obs, r, term, trunc, info = env.step(act)
+                            if term or trunc:
+                                obs, info = env.reset()
+                        continue
                     grabbed = True
                     pygame.event.set_grab(True)
                     pygame.mouse.set_visible(False)
@@ -230,6 +246,10 @@ class ManualControl:
             frame = obs["obs"] if isinstance(obs, dict) else obs
             if self.top_view:
                 frame = u.render_top_view(u.obs_width, u.obs_height)
+            if u.show_controls:
+                from miniworld_tpu import hud
+
+                frame = hud.draw_controls(frame, u.control_boxes)
             surf = pygame.surfarray.make_surface(
                 np.transpose(frame, (1, 0, 2))
             )

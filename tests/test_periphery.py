@@ -1,0 +1,153 @@
+"""Periphery components: wrappers, HUD, recorder, checkpointing,
+visibility, scripts. Mirrors the reference wrapper tests
+(tests/test_miniworld.py:44-71) and extends to the new subsystems."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from miniworld_tpu.gym_env import MiniWorldGym
+
+W, H = 32, 24
+
+
+@pytest.fixture(scope="module")
+def env():
+    return MiniWorldGym("OneRoomS6Fast", obs_width=W, obs_height=H)
+
+
+def test_pytorch_wrapper(env):
+    from miniworld_tpu.wrappers import PyTorchObsWrapper
+
+    w = PyTorchObsWrapper(env)
+    obs, _ = w.reset(seed=0)
+    assert obs.shape == (3, W, H)
+    obs, *_ = w.step(w.action_space.sample())
+    assert obs.shape == (3, W, H)
+
+
+def test_greyscale_wrapper(env):
+    from miniworld_tpu.wrappers import GreyscaleWrapper
+
+    w = GreyscaleWrapper(env)
+    obs, _ = w.reset(seed=0)
+    assert obs.shape == (H, W, 1)
+    # luma weights (wrappers.py:37-41)
+    rgb, _ = env.reset(seed=0)
+    expect = 0.30 * rgb[..., 0] + 0.59 * rgb[..., 1] + 0.11 * rgb[..., 2]
+    obs, _ = w.reset(seed=0)
+    np.testing.assert_allclose(obs[..., 0], expect.astype(np.uint8), atol=1)
+
+
+def test_stochastic_wrapper(env):
+    from miniworld_tpu.wrappers import StochasticActionWrapper
+
+    w = StochasticActionWrapper(env, prob=0.9)
+    w.reset(seed=0)
+    for _ in range(5):
+        w.step(w.action_space.sample())
+
+
+def test_batched_wrapper_fns():
+    import jax.numpy as jnp
+
+    from miniworld_tpu.wrappers import greyscale_obs, pytorch_obs
+
+    obs = jnp.zeros((2, H, W, 3), jnp.uint8).at[:, :, :, 1].set(100)
+    assert pytorch_obs(obs).shape == (2, 3, W, H)
+    g = greyscale_obs(obs)
+    assert g.shape == (2, H, W, 1)
+    assert abs(int(g[0, 0, 0, 0]) - 59) <= 1  # 0.59 * 100, f32 rounding
+
+
+def test_hud_layout_and_hit():
+    from miniworld_tpu import hud
+
+    boxes = hud.control_layout(80, 60, [n for n, _ in hud.DEFAULT_CONTROLS])
+    assert len(boxes) == len(hud.DEFAULT_CONTROLS)
+    name = next(iter(boxes))
+    x0, y0, x1, y1 = boxes[name]
+    assert hud.hit_test(boxes, (x0 + x1) // 2, (y0 + y1) // 2) == name
+    assert hud.hit_test(boxes, 0, 0) is None
+    frame = np.zeros((60, 80, 3), np.uint8)
+    out = hud.draw_controls(frame, boxes, hover=name)
+    assert out.sum() > 0 and out.shape == frame.shape
+
+
+def test_control_action_default_and_camera(env):
+    act = env.control_action("fwd")
+    assert act == 2 or (hasattr(act, "shape") and act[0] == 1.0)
+    cam = MiniWorldGym("CameraControl", obs_width=W, obs_height=H)
+    assert cam.control_action("zoom_in") == 4
+    assert "pan_left" in cam.control_boxes
+
+
+def test_recorder_roundtrip(tmp_path, env):
+    pytest.importorskip("pyarrow")
+    from miniworld_tpu.manual_control import Recorder
+
+    rec = Recorder(str(tmp_path / "ds"), fps=10)
+    rec.start()
+    obs, info = env.reset(seed=1)
+    for t in range(4):
+        obs, r, term, trunc, info = env.step(env.action_space.sample())
+        rec.add(obs, np.zeros(6, np.float32), info, r, term or trunc)
+    rec.stop()
+    info_json = json.loads((tmp_path / "ds" / "meta" / "info.json").read_text())
+    assert info_json["total_frames"] == 4
+    # state vector carries [pos, yaw, pitch, extras]
+    assert info_json["features"]["observation.state"]["shape"][0] >= 5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    from miniworld_tpu import MiniWorldVec
+    from miniworld_tpu.utils import checkpoint
+
+    env = MiniWorldVec("MiniWorld-OneRoomS6Fast-v0", num_envs=2,
+                       obs_width=W, obs_height=H)
+    state, _ = env.reset(jax.random.key(0))
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, state)
+    restored = checkpoint.restore(path, like=state)
+    np.testing.assert_array_equal(np.asarray(state.pos),
+                                  np.asarray(restored.pos))
+
+
+def test_visible_ents_vector():
+    import jax
+    import jax.numpy as jnp
+
+    from miniworld_tpu import MiniWorldVec
+
+    env = MiniWorldVec("MiniWorld-OneRoom-v0", num_envs=1, obs_width=W,
+                       obs_height=H)
+    state, _ = env.reset(jax.random.key(0))
+    box = np.asarray(state.ent_pos[0, 0])
+    agent = np.asarray(state.pos[0])
+    d = box - agent
+    face = math.atan2(-d[2], d[0])
+    state_facing = state.replace(
+        dir=jnp.asarray([face], jnp.float32),
+        cam_pitch=jnp.asarray([0.0], jnp.float32),
+    )
+    state_away = state_facing.replace(
+        dir=jnp.asarray([face + math.pi], jnp.float32)
+    )
+    assert bool(env.visible_ents(state_facing)[0, 0])
+    assert not bool(env.visible_ents(state_away)[0, 0])
+
+
+def test_scripted_control_records(tmp_path, env):
+    pytest.importorskip("pyarrow")
+    from miniworld_tpu.manual_control import ScriptedControl
+
+    ScriptedControl(env, "random", str(tmp_path / "ds"), fps=10).run(
+        num_steps=6, seed=0
+    )
+    info_json = json.loads((tmp_path / "ds" / "meta" / "info.json").read_text())
+    assert info_json["total_frames"] == 6
