@@ -442,6 +442,20 @@ class MiniWorldGym(gym.Env):
             agent_radius=self.agent_radius,
         ))
 
+    def set_discrete_actions(self, actions=None):
+        """Install (or reset) a discrete action mapping at runtime
+        (miniworld.py:654-664). ``actions`` is a list of 6-D vectors;
+        None installs the default 6-move table."""
+        from miniworld_tpu.envs.base import default_discrete_actions
+
+        if actions is None:
+            table = default_discrete_actions()
+        else:
+            table = np.asarray(actions, dtype=np.float32)
+        assert table.ndim == 2 and table.shape[1] == 6, table.shape
+        self._discrete_actions = table
+        self.action_space = spaces.Discrete(len(table))
+
     @property
     def control_boxes(self):
         """name -> pixel rect of clickable HUD buttons
