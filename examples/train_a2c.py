@@ -14,6 +14,12 @@ On a multi-chip/multi-host platform the same script scales by the
 device count (the env batch is sharded over the full mesh).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import time
 

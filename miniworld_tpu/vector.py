@@ -489,7 +489,8 @@ class MiniWorldVec:
 
     # -- fused rollout ------------------------------------------------------
 
-    def rollout_fn(self, horizon: int, *, policy=None, return_obs: bool = False):
+    def rollout_fn(self, horizon: int, *, policy=None,
+                   return_obs: bool = False, return_actions: bool = False):
         """Build a jittable fused rollout: one XLA program scanning
         ``horizon`` env steps on device (step + render per step).
 
@@ -543,6 +544,9 @@ class MiniWorldVec:
                     out["obs"] = obs
                     if self.with_depth:
                         out["depth"] = depth
+                if return_actions:
+                    out["actions"] = actions
+                    out["rewards"] = reward
                 return (state, obs, depth), out
 
             keys = jax.random.split(key, horizon)

@@ -8,6 +8,12 @@ Two modes:
     rollout env-steps/s at a given batch size, RGB-D observations.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import json
 import time

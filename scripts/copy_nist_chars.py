@@ -10,6 +10,12 @@ domain randomization expects (utils/assets.py). The repository ships a
 pre-generated set; this script only matters for regenerating it.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import random
 import string

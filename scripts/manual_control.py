@@ -9,6 +9,12 @@ Examples:
         --steps 500 --record-dir /tmp/ds    # no display needed
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import argparse
 
 

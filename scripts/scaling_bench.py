@@ -12,6 +12,12 @@ mesh to validate the sharding (the collectives run on the CPU backend):
 On a real pod slice it measures true ICI scaling.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import json
 import time
