@@ -227,22 +227,30 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     )
     m = jnp.concatenate([jnp.cos(arg), jnp.sin(arg)], axis=1)  # (HW, 2K)
 
-    # W: (T*3, 2K) rows = [A_tc | B_tc] for slot t, channel c
+    # W: (3T, 2K+1) channel-major rows [A_tc | B_tc | dc_tc]; the extra
+    # ones column of m folds the DC term into the same contraction, and
+    # channel-major ordering keeps the per-channel slot selection a
+    # contiguous slice (a (HW, T, 3) reshape forced a 4ms layout copy).
     amps = coeffs_env[:, a0:a0 + 6 * k]  # (T, 6K) = [A(3K) | B(3K)]
-    a_rows = amps[:, :3 * k].reshape(n_slots, 3, k)
-    b_rows = amps[:, 3 * k:].reshape(n_slots, 3, k)
-    w = jnp.concatenate([a_rows, b_rows], axis=2).reshape(n_slots * 3, 2 * k)
+    a_rows = amps[:, :3 * k].reshape(n_slots, 3, k).transpose(1, 0, 2)
+    b_rows = amps[:, 3 * k:].reshape(n_slots, 3, k).transpose(1, 0, 2)
+    dc_rows = coeffs_env[:, 0:3].T[:, :, None]  # (3, T, 1)
+    w = jnp.concatenate([a_rows, b_rows, dc_rows], axis=2).reshape(
+        3 * n_slots, 2 * k + 1
+    )
+    m1 = jnp.concatenate([m, jnp.ones((m.shape[0], 1), m.dtype)], axis=1)
     sums = jax.lax.dot_general(
-        m, w,
+        m1, w,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(-1, n_slots, 3)  # (HW, T, 3)
-    texel = jnp.sum(sums * oh[:, :, None], axis=1)  # select slot
-    texel = texel + jax.lax.dot_general(
-        oh, coeffs_env[:, 0:3],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # + dc
+    )  # (HW, 3T), channel-major
+    texel = jnp.stack(
+        [
+            jnp.sum(sums[:, ch * n_slots:(ch + 1) * n_slots] * oh, axis=1)
+            for ch in range(3)
+        ],
+        axis=1,
+    )
     textured = slot_i >= 0
     return jnp.where(textured[:, None], jnp.clip(texel, 0.0, 1.0), 1.0)
 
