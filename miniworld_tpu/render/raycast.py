@@ -188,7 +188,7 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
 
 
 def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
-                 k_terms: int):
+                 k_terms: int, footprint: jax.Array | None = None):
     """Evaluate the Fourier texture model per pixel.
 
     Args:
@@ -226,6 +226,17 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
         freqs[:, :k] * uv[:, 0:1] + freqs[:, k:] * uv[:, 1:2]
     )
     m = jnp.concatenate([jnp.cos(arg), jnp.sin(arg)], axis=1)  # (HW, 2K)
+    if footprint is not None:
+        # Frequency-space anti-aliasing — the Fourier analog of GL's
+        # trilinear mipmapping: a pixel whose uv-space footprint spans
+        # several periods of a term averages that term to ~zero, so
+        # attenuate each term by a rational low-pass in (freq x
+        # footprint). Kills distance moire on high-frequency textures
+        # (checkerboard floors); costs ~10% of the render (a handful of
+        # (HW, K) VPU ops).
+        f2 = freqs[:, :k] ** 2 + freqs[:, k:] ** 2  # (HW, K)
+        att = 1.0 / (1.0 + (math.pi ** 2) * f2 * (footprint[:, None] ** 2))
+        m = m * jnp.concatenate([att, att], axis=1)
 
     # W: (3T, 2K+1) channel-major rows [A_tc | B_tc | dc_tc]; the extra
     # ones column of m folds the DC term into the same contraction, and
@@ -443,7 +454,16 @@ def render_rgbd(
         # per-env texture table with domain-randomized variants applied:
         # a tiny (T,) row gather, not a per-pixel one
         coeffs_env = tex["coeffs"][state.tex_map]
-        texel = eval_fourier(coeffs_env, attr[:, _SLOT], uv, tex["k"])
+        # uv-space pixel footprint ~ hit distance x pixel angle x the
+        # texture map's scale (norm of the affine rows)
+        pix_angle = jnp.tan(jnp.deg2rad(state.cam_fov_y) * 0.5) * (2.0 / height)
+        amap_scale = jnp.sqrt(
+            jnp.sum(attr[:, 0:6] ** 2, axis=1) * 0.5
+        )
+        footprint = t_uv * pix_angle * amap_scale
+        texel = eval_fourier(
+            coeffs_env, attr[:, _SLOT], uv, tex["k"], footprint
+        )
     else:
         texel = eval_nearest(tex["atlas"], state.tex_map, attr[:, _SLOT], uv)
     tri_color = attr[:, _COL] * texel
