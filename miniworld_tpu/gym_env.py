@@ -297,6 +297,9 @@ class MiniWorldGym(gym.Env):
         self.step_count += 1
         rand = self.np_random if self.domain_rand else None
         spec = self.spec_def
+        # env step overrides in the reference see the ORIGINAL action
+        # (e.g. Sign's end-action scalar check, sign.py:170)
+        orig_action = action
 
         if spec.override_physics:
             spec.host_apply_action(self, action)
@@ -346,7 +349,7 @@ class MiniWorldGym(gym.Env):
 
         # env-specific task logic (reference env step overrides)
         reward, termination = spec.host_transition(
-            self, action, reward, termination
+            self, orig_action, reward, termination
         )
         info = {"agent": self._get_agent_state()}
         info.update(spec.host_info(self))
