@@ -112,12 +112,13 @@ class MiniWorldVec:
         self.domain_rand = domain_rand
         self.with_depth = with_depth
         self.place_budget = place_budget
-        # Auto-size the triangle chunk: the render scan materializes a
-        # few (B, H*W, tri_chunk) f32 intermediates; keep their sum
-        # under ~6 GB so large batches fit HBM.
+        # Auto-size the triangle chunk: the render scan materializes
+        # (B, H*W, tri_chunk) f32 intermediates. Bigger chunks mean
+        # fewer scan iterations (fewer carry read-writes — measured 30%
+        # on FourRooms going 64 -> 128 at B=1024); cap each intermediate
+        # at ~2.5 GB so XLA's buffer reuse keeps the peak inside HBM.
         hw = self.obs_width * self.obs_height
-        budget_elems = 6e9 / (4 * 4)
-        auto = int(budget_elems / max(num_envs * hw, 1))
+        auto = int(2.5e9 / 4 / max(num_envs * hw, 1))
         self.tri_chunk = max(16, min(tri_chunk, (auto // 16) * 16 or 16))
 
         assert tex_mode in ("fourier", "nearest"), tex_mode

@@ -151,3 +151,19 @@ def test_scripted_control_records(tmp_path, env):
     )
     info_json = json.loads((tmp_path / "ds" / "meta" / "info.json").read_text())
     assert info_json["total_frames"] == 6
+
+
+ENV_CHECK_IDS = ["OneRoomS6Fast", "Hallway", "PutNext", "Sign", "CameraControlClick"]
+
+
+@pytest.mark.parametrize("name", ENV_CHECK_IDS)
+def test_env_checker(name):
+    """gymnasium conformance (tests/test_miniworld.py:131-158 analog)."""
+    import warnings
+
+    from gymnasium.utils.env_checker import check_env
+
+    env = MiniWorldGym(name, obs_width=W, obs_height=H)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        check_env(env, skip_render_check=True)
