@@ -311,8 +311,15 @@ class MiniWorldGym(gym.Env):
             action_idx = -1
             if np.isscalar(action) or np.ndim(action) == 0:
                 action_idx = int(action)
+                if not 0 <= action_idx < len(self._discrete_actions):
+                    raise ValueError(
+                        f"Discrete action {action_idx} outside valid range"
+                    )
                 action = self._discrete_actions[action_idx]
             action = np.asarray(action, dtype=np.float32)
+            # NaN/inf actions would silently corrupt the agent pose
+            # (np.clip passes NaN through)
+            action = np.nan_to_num(action, nan=0.0, posinf=1.0, neginf=-1.0)
             action = np.clip(
                 action,
                 [-1, -1, -1, -1, 0, 0],

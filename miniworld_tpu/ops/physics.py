@@ -236,7 +236,11 @@ def near(state: EnvState, idx0, idx1=None, *, max_forward_step: float,
 
 
 def clip_action(action: jax.Array) -> jax.Array:
-    """Clip a 6-D action to the Box bounds (miniworld.py:483-487)."""
+    """Clip a 6-D action to the Box bounds (miniworld.py:483-487).
+
+    NaNs map to 0 (clip alone passes them through and would poison the
+    agent pose for the rest of the run).
+    """
     low = jnp.array([-1.0, -1.0, -1.0, -1.0, 0.0, 0.0], dtype=jnp.float32)
     high = jnp.array([1.0, 1.0, 1.0, 1.0, 1.0, 1.0], dtype=jnp.float32)
-    return jnp.clip(action, low, high)
+    return jnp.clip(jnp.nan_to_num(action), low, high)
