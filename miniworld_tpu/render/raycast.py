@@ -52,7 +52,12 @@ import jax
 import jax.numpy as jnp
 
 from miniworld_tpu.ops import geom
-from miniworld_tpu.scene.entities import SHAPE_BOX, SHAPE_MESH_BOX, SHAPE_SPHERE
+from miniworld_tpu.scene.entities import (
+    SHAPE_BOX,
+    SHAPE_HULL,
+    SHAPE_MESH_BOX,
+    SHAPE_SPHERE,
+)
 
 NEAR = 0.04  # miniworld/miniworld.py:1287
 FAR = 100.0
@@ -103,6 +108,9 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
     hw = dirs.shape[0]
 
     def body(carry, c):
+        # barrier: XLA:TPU otherwise fuses/remats iterations of this
+        # scan into one (B, HW, S) buffer — 22 GB for an 8x8 maze
+        carry = jax.lax.optimization_barrier(carry)
         t_best, attr_best = carry
         start = c * tri_chunk
         # clamp the last chunk into range (S padded >= chunk not required)
@@ -374,11 +382,63 @@ def _entity_pass(bank, layout_id, state, origin, dirs):
         axes_world = jnp.stack([ax_x, ax_y, ax_z])  # (3,3)
         n_box = sign[:, None] * (slab_oh @ axes_world)
 
+        # --- convex hull impostor (dynamic meshes: keys, medkits...) ---
+        # half-spaces n.p + off <= 0 in the entity's local frame; ray
+        # slab over planes: entry = max over denom<0 planes, exit = min
+        # over denom>0 (padding rows have n = 0 -> unconstrained)
+        planes = bank.proto_hull[layout_id, state.ent_proto[e]]  # (MAXP,4)
+        o_l3 = o_l  # local origin components (3,)
+        pn = planes[:, 0:3]  # (MAXP,3)
+        poff = planes[:, 3]
+        valid_p = jnp.sum(pn * pn, axis=1) > 1e-9
+        num = pn @ o_l3 + poff  # (MAXP,)
+        den = jax.lax.dot_general(
+            d_l, pn,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HW, MAXP)
+        safe_den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+        t_p = -num[None, :] / safe_den
+        is_entry = (den < -1e-9) & valid_p[None, :]
+        is_exit = (den > 1e-9) & valid_p[None, :]
+        # parallel ray outside a valid plane -> miss
+        par_out = jnp.any(
+            (jnp.abs(den) <= 1e-9) & (num[None, :] > 0.0) & valid_p[None, :],
+            axis=1,
+        )
+        t_hin = jnp.max(jnp.where(is_entry, t_p, -jnp.inf), axis=1)
+        t_hout = jnp.min(jnp.where(is_exit, t_p, jnp.inf), axis=1)
+        hull_hit = (
+            (t_hin <= t_hout) & ~par_out & (t_hin > NEAR) & (t_hin < FAR)
+        )
+        # entry-plane normal via one-hot (local), rotated to world
+        ohp = (
+            (t_p == t_hin[:, None]) & is_entry
+        ).astype(jnp.float32)
+        ohp = ohp / jnp.maximum(jnp.sum(ohp, axis=1, keepdims=True), 1.0)
+        n_l = jax.lax.dot_general(
+            ohp, pn,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HW,3) local
+        # local->world: world = R @ local with columns (ax_x, ax_y, ax_z)
+        n_h = (
+            n_l[:, 0:1] * ax_x[None, :]
+            + n_l[:, 1:2] * ax_y[None, :]
+            + n_l[:, 2:3] * ax_z[None, :]
+        )
+
         is_sphere = shape == SHAPE_SPHERE
+        is_hull = shape == SHAPE_HULL
         is_box = (shape == SHAPE_BOX) | (shape == SHAPE_MESH_BOX)
-        t_e = jnp.where(is_sphere, t_sph, t_in)
-        hit_e = active & jnp.where(is_sphere, sph_hit, box_hit & is_box)
-        n_e = jnp.where(is_sphere, n_sph, n_box)
+        t_e = jnp.where(
+            is_sphere, t_sph, jnp.where(is_hull, t_hin, t_in)
+        )
+        hit_e = active & jnp.where(
+            is_sphere, sph_hit,
+            jnp.where(is_hull, hull_hit, box_hit & is_box),
+        )
+        n_e = jnp.where(is_sphere, n_sph, jnp.where(is_hull, n_h, n_box))
 
         closer = hit_e & (t_e < t_best)
         t_best = jnp.where(closer, t_e, t_best)

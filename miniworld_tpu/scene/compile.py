@@ -57,6 +57,7 @@ class Layout:
     room_area: np.ndarray  # (R,) f32
     # prototypes
     proto_shape: np.ndarray  # (P,) i32
+    proto_hull: np.ndarray  # (P,MAXP,4) f32 half-spaces for SHAPE_HULL
     proto_size: np.ndarray  # (P,3) f32
     proto_radius: np.ndarray  # (P,) f32
     proto_height: np.ndarray  # (P,) f32
@@ -104,6 +105,7 @@ class Layout:
             room_aabb=_pad(self.room_aabb, s["R"]),
             room_area=_pad(self.room_area, s["R"]),
             proto_shape=_pad(self.proto_shape, s["P"]),
+            proto_hull=_pad(self.proto_hull, s["P"]),
             proto_size=_pad(self.proto_size, s["P"]),
             proto_radius=_pad(self.proto_radius, s["P"]),
             proto_height=_pad(self.proto_height, s["P"]),
@@ -241,8 +243,11 @@ def compile_world(world: World) -> Layout:
         room_area[i] = r.area
     room_mask = np.ones(R, dtype=bool)
 
+    from miniworld_tpu.scene.entities import MAX_HULL_PLANES
+
     P = max(len(world.protos), 1)
     proto_shape = np.zeros(P, dtype=np.int32)
+    proto_hull = np.zeros((P, MAX_HULL_PLANES, 4), dtype=np.float32)
     proto_size = np.zeros((P, 3), dtype=np.float32)
     proto_radius = np.zeros(P, dtype=np.float32)
     proto_height = np.zeros(P, dtype=np.float32)
@@ -252,6 +257,8 @@ def compile_world(world: World) -> Layout:
     proto_pickable = np.zeros(P, dtype=bool)
     for i, p in enumerate(world.protos):
         proto_shape[i] = p.shape
+        if p.hull_planes is not None:
+            proto_hull[i] = p.hull_planes
         proto_size[i] = p.size
         proto_radius[i] = p.radius
         proto_height[i] = p.height
@@ -322,7 +329,8 @@ def compile_world(world: World) -> Layout:
         room_outline=room_outline, room_norms=room_norms,
         room_vmask=room_vmask, room_mask=room_mask,
         room_aabb=room_aabb, room_area=room_area,
-        proto_shape=proto_shape, proto_size=proto_size,
+        proto_shape=proto_shape, proto_hull=proto_hull,
+        proto_size=proto_size,
         proto_radius=proto_radius, proto_height=proto_height,
         proto_color=proto_color, proto_colorable=proto_colorable,
         proto_static=proto_static, proto_pickable=proto_pickable,

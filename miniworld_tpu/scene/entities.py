@@ -47,6 +47,10 @@ SHAPE_NONE = 0
 SHAPE_BOX = 1
 SHAPE_SPHERE = 2
 SHAPE_MESH_BOX = 3
+SHAPE_HULL = 4
+
+# max half-space planes per dynamic-mesh hull impostor
+MAX_HULL_PLANES = 16
 
 
 def rot_y(angle: float) -> np.ndarray:
@@ -67,6 +71,9 @@ class Proto:
     colorable: bool = False  # Box: obj_color_bias applies (entity.py:405-407)
     static: bool = False
     pickable: bool = True  # not is_static
+    # (MAX_HULL_PLANES, 4) half-spaces n.x + d <= 0, zero-padded;
+    # only meaningful for SHAPE_HULL
+    hull_planes: np.ndarray | None = None
 
     def __post_init__(self):
         self.size = np.asarray(self.size, dtype=np.float64)
@@ -142,11 +149,18 @@ def key_proto(color: str) -> Proto:
 
 
 def mesh_box_proto(mesh_name: str, height: float, static: bool = True) -> Proto:
-    """Dynamic mesh entity as an OBB impostor with the mesh's color."""
+    """Mesh entity impostor with the mesh's color.
+
+    Static meshes keep the OBB (their visuals are baked triangles; the
+    proto only matters for collision). Dynamic meshes render as a
+    convex-hull impostor — the hull of the scaled mesh reduced to at
+    most MAX_HULL_PLANES half-spaces — which preserves silhouettes
+    (keys look like keys, not crates) at ~3x a box's intersection cost.
+    """
     mesh, scale, radius = mesh_scale_radius(mesh_name, height)
     dims = (mesh.bbox_hi - mesh.bbox_lo) * scale
-    return Proto(
-        shape=SHAPE_MESH_BOX,
+    proto = Proto(
+        shape=SHAPE_MESH_BOX if static else SHAPE_HULL,
         size=dims,
         radius=radius,
         height=float(height),
@@ -154,6 +168,48 @@ def mesh_box_proto(mesh_name: str, height: float, static: bool = True) -> Proto:
         static=static,
         pickable=not static,
     )
+    if not static:
+        proto.hull_planes = _hull_planes(mesh.verts.reshape(-1, 3) * scale)
+    return proto
+
+
+def _hull_planes(points: np.ndarray, max_planes: int = MAX_HULL_PLANES):
+    """Reduce a point cloud to <= max_planes outer half-spaces.
+
+    Convex hull facets are merged by normal direction (quantized to a
+    coarse angular grid, keeping each direction's outermost offset) and
+    ranked by facet area until the budget is met. Padding rows are
+    all-zero (n = 0 never constrains the slab test).
+    """
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(points)
+    eqs = hull.equations  # (F, 4): n.x + d <= 0 inside
+    # facet areas for ranking
+    areas = np.zeros(len(eqs))
+    for i, simplex in enumerate(hull.simplices):
+        a, b, c = points[simplex]
+        areas[i] = 0.5 * np.linalg.norm(np.cross(b - a, c - a))
+    # merge near-parallel planes: quantize normals, keep max offset
+    merged: dict = {}
+    for eq, area in zip(eqs, areas):
+        key = tuple(np.round(eq[:3] * 4).astype(int))
+        if key in merged:
+            n_old, d_old, a_old = merged[key]
+            # outermost = larger d means plane further out for n.x+d<=0?
+            # keep the one enclosing all points: larger d encloses more
+            if eq[3] > d_old:
+                merged[key] = (eq[:3], eq[3], a_old + area)
+            else:
+                merged[key] = (n_old, d_old, a_old + area)
+        else:
+            merged[key] = (eq[:3], eq[3], area)
+    ranked = sorted(merged.values(), key=lambda t: -t[2])[:max_planes]
+    out = np.zeros((max_planes, 4), dtype=np.float32)
+    for i, (n, d, _) in enumerate(ranked):
+        out[i, :3] = n
+        out[i, 3] = d
+    return out
 
 
 def bake_static_mesh(

@@ -227,12 +227,19 @@ class World:
             # Slot registration (and eager variant sampling) in the
             # reference's Texture.get order: wall, floor, ceil — three
             # rng draws per room with domain randomization on
-            # (miniworld.py:296-298).
-            wall_s = self.tex_slot(room.wall_tex_name, tag=("room", ri, "wall"))
+            # (miniworld.py:296-298). Slots are shared BY NAME: the
+            # reference randomizes the texture variant per room, but a
+            # per-(room, role) slot table scales with the room count
+            # (3 x 127 slots for an 8x8 maze) and the renderer's
+            # per-pixel slot one-hot with it — a 22 GB intermediate at
+            # 1024 envs. Sharing by name coarsens variant randomization
+            # to once per texture per episode (documented deviation);
+            # the rng is still consumed once per room for parity.
+            wall_s = self.tex_slot(room.wall_tex_name)
             self._sample_tex_variant(wall_s, rand)
-            floor_s = self.tex_slot(room.floor_tex_name, tag=("room", ri, "floor"))
+            floor_s = self.tex_slot(room.floor_tex_name)
             self._sample_tex_variant(floor_s, rand)
-            ceil_s = self.tex_slot(room.ceil_tex_name, tag=("room", ri, "ceil"))
+            ceil_s = self.tex_slot(room.ceil_tex_name)
             self._sample_tex_variant(ceil_s, rand)
 
             slot_map = {
