@@ -294,12 +294,17 @@ def eval_nearest(atlas: jax.Array, tex_map: jax.Array, slot: jax.Array,
     return jnp.where((slot_i >= 0)[:, None], texel, 1.0)
 
 
-def _entity_pass(bank, layout_id, state, origin, dirs):
+def _entity_pass(bank, layout_id, state, origin, dirs,
+                 shapes_present=(True, True, True)):
     """Analytic intersection for dynamic entities.
 
     Carries running (t, rgb_base, normal) buffers — entities are few,
     so attributes are computed inline instead of deferred.
+    ``shapes_present`` = static (spheres, boxes, hulls) flags from the
+    compiled bank; absent shapes skip their math entirely (the hull
+    slab test costs ~3x a box and most envs have no hull entities).
     """
+    has_sphere, has_box, has_hull = shapes_present
     hw = dirs.shape[0]
     num_ents = state.ent_pos.shape[0]
 
@@ -325,21 +330,26 @@ def _entity_pass(bank, layout_id, state, origin, dirs):
         color = state.ent_color[e]
 
         # --- sphere (Ball) ---
-        center = pos + jnp.array([0.0, 0.5, 0.0]) * height
-        r_vis = 0.5 * height
-        oc = origin - center
-        a = jnp.sum(dirs * dirs, axis=1)
-        # matvecs lower as slow lane reductions; explicit FMAs fuse
-        b = 2.0 * (
-            dirs[:, 0] * oc[0] + dirs[:, 1] * oc[1] + dirs[:, 2] * oc[2]
-        )
-        cc = jnp.dot(oc, oc) - r_vis * r_vis
-        disc = b * b - 4.0 * a * cc
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_sph = (-b - sq) / (2.0 * a)
-        sph_hit = (disc > 0.0) & (t_sph > NEAR) & (t_sph < FAR)
-        p_sph = origin[None, :] + t_sph[:, None] * dirs
-        n_sph = (p_sph - center) / r_vis
+        if has_sphere:
+            center = pos + jnp.array([0.0, 0.5, 0.0]) * height
+            r_vis = 0.5 * height
+            oc = origin - center
+            a = jnp.sum(dirs * dirs, axis=1)
+            # matvecs lower as slow lane reductions; explicit FMAs fuse
+            b = 2.0 * (
+                dirs[:, 0] * oc[0] + dirs[:, 1] * oc[1] + dirs[:, 2] * oc[2]
+            )
+            cc = jnp.dot(oc, oc) - r_vis * r_vis
+            disc = b * b - 4.0 * a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_sph = (-b - sq) / (2.0 * a)
+            sph_hit = (disc > 0.0) & (t_sph > NEAR) & (t_sph < FAR)
+            p_sph = origin[None, :] + t_sph[:, None] * dirs
+            n_sph = (p_sph - center) / r_vis
+        else:
+            t_sph = jnp.full(hw, jnp.inf, jnp.float32)
+            sph_hit = jnp.zeros(hw, bool)
+            n_sph = jnp.zeros((hw, 3), jnp.float32)
 
         # --- oriented box (Box / mesh impostor) ---
         # Local frame: columns of R(dir); box spans [-sx/2,sx/2] x
@@ -386,47 +396,52 @@ def _entity_pass(bank, layout_id, state, origin, dirs):
         # half-spaces n.p + off <= 0 in the entity's local frame; ray
         # slab over planes: entry = max over denom<0 planes, exit = min
         # over denom>0 (padding rows have n = 0 -> unconstrained)
-        planes = bank.proto_hull[layout_id, state.ent_proto[e]]  # (MAXP,4)
-        o_l3 = o_l  # local origin components (3,)
-        pn = planes[:, 0:3]  # (MAXP,3)
-        poff = planes[:, 3]
-        valid_p = jnp.sum(pn * pn, axis=1) > 1e-9
-        num = pn @ o_l3 + poff  # (MAXP,)
-        den = jax.lax.dot_general(
-            d_l, pn,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (HW, MAXP)
-        safe_den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-        t_p = -num[None, :] / safe_den
-        is_entry = (den < -1e-9) & valid_p[None, :]
-        is_exit = (den > 1e-9) & valid_p[None, :]
-        # parallel ray outside a valid plane -> miss
-        par_out = jnp.any(
-            (jnp.abs(den) <= 1e-9) & (num[None, :] > 0.0) & valid_p[None, :],
-            axis=1,
-        )
-        t_hin = jnp.max(jnp.where(is_entry, t_p, -jnp.inf), axis=1)
-        t_hout = jnp.min(jnp.where(is_exit, t_p, jnp.inf), axis=1)
-        hull_hit = (
-            (t_hin <= t_hout) & ~par_out & (t_hin > NEAR) & (t_hin < FAR)
-        )
-        # entry-plane normal via one-hot (local), rotated to world
-        ohp = (
-            (t_p == t_hin[:, None]) & is_entry
-        ).astype(jnp.float32)
-        ohp = ohp / jnp.maximum(jnp.sum(ohp, axis=1, keepdims=True), 1.0)
-        n_l = jax.lax.dot_general(
-            ohp, pn,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (HW,3) local
-        # local->world: world = R @ local with columns (ax_x, ax_y, ax_z)
-        n_h = (
-            n_l[:, 0:1] * ax_x[None, :]
-            + n_l[:, 1:2] * ax_y[None, :]
-            + n_l[:, 2:3] * ax_z[None, :]
-        )
+        if has_hull:
+            planes = bank.proto_hull[layout_id, state.ent_proto[e]]  # (MAXP,4)
+            pn = planes[:, 0:3]  # (MAXP,3)
+            poff = planes[:, 3]
+            valid_p = jnp.sum(pn * pn, axis=1) > 1e-9
+            num = pn @ o_l + poff  # (MAXP,)
+            den = jax.lax.dot_general(
+                d_l, pn,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (HW, MAXP)
+            safe_den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+            t_p = -num[None, :] / safe_den
+            is_entry = (den < -1e-9) & valid_p[None, :]
+            is_exit = (den > 1e-9) & valid_p[None, :]
+            # parallel ray outside a valid plane -> miss
+            par_out = jnp.any(
+                (jnp.abs(den) <= 1e-9)
+                & (num[None, :] > 0.0) & valid_p[None, :],
+                axis=1,
+            )
+            t_hin = jnp.max(jnp.where(is_entry, t_p, -jnp.inf), axis=1)
+            t_hout = jnp.min(jnp.where(is_exit, t_p, jnp.inf), axis=1)
+            hull_hit = (
+                (t_hin <= t_hout) & ~par_out & (t_hin > NEAR) & (t_hin < FAR)
+            )
+            # entry-plane normal via one-hot (local), rotated to world
+            ohp = (
+                (t_p == t_hin[:, None]) & is_entry
+            ).astype(jnp.float32)
+            ohp = ohp / jnp.maximum(jnp.sum(ohp, axis=1, keepdims=True), 1.0)
+            n_l = jax.lax.dot_general(
+                ohp, pn,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (HW,3) local
+            # local->world: world = R @ local, columns (ax_x, ax_y, ax_z)
+            n_h = (
+                n_l[:, 0:1] * ax_x[None, :]
+                + n_l[:, 1:2] * ax_y[None, :]
+                + n_l[:, 2:3] * ax_z[None, :]
+            )
+        else:
+            t_hin = jnp.full(hw, jnp.inf, jnp.float32)
+            hull_hit = jnp.zeros(hw, bool)
+            n_h = jnp.zeros((hw, 3), jnp.float32)
 
         is_sphere = shape == SHAPE_SPHERE
         is_hull = shape == SHAPE_HULL
@@ -479,6 +494,7 @@ def render_rgbd(
     height: int,
     tri_chunk: int = 128,
     with_depth: bool = True,
+    shapes_present=(True, True, True),
 ):
     """Render one env's observation. Returns (rgb u8 (H,W,3), depth (H,W,1)).
 
@@ -495,7 +511,9 @@ def render_rgbd(
     dirs = camera_rays(state, width, height)  # (HW,3)
 
     t_tri, attr = _tri_pass(bank, layout_id, origin, dirs, tri_chunk)
-    t_ent, col_ent, n_ent = _entity_pass(bank, layout_id, state, origin, dirs)
+    t_ent, col_ent, n_ent = _entity_pass(
+        bank, layout_id, state, origin, dirs, shapes_present
+    )
 
     # UV from the affine texture map at the triangle hit point
     t_uv = jnp.where(jnp.isfinite(t_tri), t_tri, 0.0)

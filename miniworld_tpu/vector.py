@@ -143,6 +143,17 @@ class MiniWorldVec:
 
         self.num_layouts = bank_np.tri_verts.shape[0]
         self.num_ent_slots = bank_np.slot_protos.shape[1]
+        # static shape-presence flags let the renderer skip whole
+        # entity-intersection branches for env classes without them
+        from miniworld_tpu.scene.entities import (
+            SHAPE_BOX, SHAPE_HULL, SHAPE_MESH_BOX, SHAPE_SPHERE,
+        )
+        shp = bank_np.proto_shape
+        self._shapes_present = (
+            bool((shp == SHAPE_SPHERE).any()),
+            bool(((shp == SHAPE_BOX) | (shp == SHAPE_MESH_BOX)).any()),
+            bool((shp == SHAPE_HULL).any()),
+        )
 
         if spec.discrete_actions is not None:
             self._action_table = jnp.asarray(spec.discrete_actions)
@@ -382,6 +393,7 @@ class MiniWorldVec:
             bank, state, tex,
             width=self.obs_width, height=self.obs_height,
             tri_chunk=self.tri_chunk, with_depth=self.with_depth,
+            shapes_present=self._shapes_present,
         )
         return self._wrap_obs_one(rgb, depth, state)
 
