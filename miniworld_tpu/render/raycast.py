@@ -397,7 +397,7 @@ def _entity_pass(bank, layout_id, state, origin, dirs,
         # slab over planes: entry = max over denom<0 planes, exit = min
         # over denom>0 (padding rows have n = 0 -> unconstrained)
         if has_hull:
-            planes = bank.proto_hull[layout_id, state.ent_proto[e]]  # (MAXP,4)
+            planes = bank.proto_hull[layout_id, state.ent_proto[e]]  # (MAXP,8)
             pn = planes[:, 0:3]  # (MAXP,3)
             poff = planes[:, 3]
             valid_p = jnp.sum(pn * pn, axis=1) > 1e-9
@@ -427,11 +427,15 @@ def _entity_pass(bank, layout_id, state, origin, dirs,
                 (t_p == t_hin[:, None]) & is_entry
             ).astype(jnp.float32)
             ohp = ohp / jnp.maximum(jnp.sum(ohp, axis=1, keepdims=True), 1.0)
-            n_l = jax.lax.dot_general(
-                ohp, pn,
+            # one contraction selects entry normal (local) AND the
+            # plane's color (cols 4:7)
+            sel_h = jax.lax.dot_general(
+                ohp, planes[:, 0:7],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (HW,3) local
+            )  # (HW,7)
+            n_l = sel_h[:, 0:3]
+            col_h = sel_h[:, 4:7]
             # local->world: world = R @ local, columns (ax_x, ax_y, ax_z)
             n_h = (
                 n_l[:, 0:1] * ax_x[None, :]
@@ -442,6 +446,7 @@ def _entity_pass(bank, layout_id, state, origin, dirs,
             t_hin = jnp.full(hw, jnp.inf, jnp.float32)
             hull_hit = jnp.zeros(hw, bool)
             n_h = jnp.zeros((hw, 3), jnp.float32)
+            col_h = jnp.zeros((hw, 3), jnp.float32)
 
         is_sphere = shape == SHAPE_SPHERE
         is_hull = shape == SHAPE_HULL
@@ -454,10 +459,11 @@ def _entity_pass(bank, layout_id, state, origin, dirs,
             jnp.where(is_hull, hull_hit, box_hit & is_box),
         )
         n_e = jnp.where(is_sphere, n_sph, jnp.where(is_hull, n_h, n_box))
+        col_e = jnp.where(is_hull, col_h, color[None, :])
 
         closer = hit_e & (t_e < t_best)
         t_best = jnp.where(closer, t_e, t_best)
-        col_best = jnp.where(closer[:, None], color[None, :], col_best)
+        col_best = jnp.where(closer[:, None], col_e, col_best)
         n_best = jnp.where(closer[:, None], n_e, n_best)
         return (t_best, col_best, n_best), None
 

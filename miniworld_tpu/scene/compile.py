@@ -57,7 +57,7 @@ class Layout:
     room_area: np.ndarray  # (R,) f32
     # prototypes
     proto_shape: np.ndarray  # (P,) i32
-    proto_hull: np.ndarray  # (P,MAXP,4) f32 half-spaces for SHAPE_HULL
+    proto_hull: np.ndarray  # (P,MAXP,8) f32 [n,d,color,pad] for SHAPE_HULL
     proto_size: np.ndarray  # (P,3) f32
     proto_radius: np.ndarray  # (P,) f32
     proto_height: np.ndarray  # (P,) f32
@@ -247,7 +247,7 @@ def compile_world(world: World) -> Layout:
 
     P = max(len(world.protos), 1)
     proto_shape = np.zeros(P, dtype=np.int32)
-    proto_hull = np.zeros((P, MAX_HULL_PLANES, 4), dtype=np.float32)
+    proto_hull = np.zeros((P, MAX_HULL_PLANES, 8), dtype=np.float32)
     proto_size = np.zeros((P, 3), dtype=np.float32)
     proto_radius = np.zeros(P, dtype=np.float32)
     proto_height = np.zeros(P, dtype=np.float32)

@@ -71,8 +71,8 @@ class Proto:
     colorable: bool = False  # Box: obj_color_bias applies (entity.py:405-407)
     static: bool = False
     pickable: bool = True  # not is_static
-    # (MAX_HULL_PLANES, 4) half-spaces n.x + d <= 0, zero-padded;
-    # only meaningful for SHAPE_HULL
+    # (MAX_HULL_PLANES, 8) half-spaces [n(3), d, color(3), pad] with
+    # n.x + d <= 0 inside, zero-padded; only meaningful for SHAPE_HULL
     hull_planes: np.ndarray | None = None
 
     def __post_init__(self):
@@ -80,8 +80,8 @@ class Proto:
         self.color = np.asarray(self.color, dtype=np.float64)
 
 
-def _mesh_color(mesh) -> np.ndarray:
-    """Area-weighted mean color of a mesh (Kd x mean texture color)."""
+def _face_colors_areas(mesh):
+    """Per-face effective colors (Kd x mean texture color) and areas."""
     v = mesh.verts
     areas = 0.5 * np.linalg.norm(
         np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=1
@@ -98,6 +98,12 @@ def _mesh_color(mesh) -> np.ndarray:
                         im.convert("RGB").resize((8, 8))
                     ).reshape(-1, 3).mean(axis=0) / 255.0
             colors[t] = colors[t] * tex_means[tex]
+    return colors, areas
+
+
+def _mesh_color(mesh) -> np.ndarray:
+    """Area-weighted mean color of a mesh (Kd x mean texture color)."""
+    colors, areas = _face_colors_areas(mesh)
     w = areas / max(areas.sum(), 1e-9)
     return (colors * w[:, None]).sum(axis=0)
 
@@ -169,35 +175,36 @@ def mesh_box_proto(mesh_name: str, height: float, static: bool = True) -> Proto:
         pickable=not static,
     )
     if not static:
-        proto.hull_planes = _hull_planes(mesh.verts.reshape(-1, 3) * scale)
+        proto.hull_planes = _hull_planes(mesh, scale)
     return proto
 
 
-def _hull_planes(points: np.ndarray, max_planes: int = MAX_HULL_PLANES):
-    """Reduce a point cloud to <= max_planes outer half-spaces.
+def _hull_planes(mesh, scale: float, max_planes: int = MAX_HULL_PLANES):
+    """Reduce a mesh to <= max_planes outer half-spaces with colors.
 
     Convex hull facets are merged by normal direction (quantized to a
     coarse angular grid, keeping each direction's outermost offset) and
-    ranked by facet area until the budget is met. Padding rows are
-    all-zero (n = 0 never constrains the slab test).
+    ranked by facet area until the budget is met. Each plane carries
+    the area-weighted color of the MESH faces whose normals best align
+    with it (duckie beaks stay orange, medkits pick up their cross
+    tint). Padding rows are all-zero (n = 0 never constrains the slab
+    test).
     """
     from scipy.spatial import ConvexHull
 
+    points = mesh.verts.reshape(-1, 3) * scale
     hull = ConvexHull(points)
     eqs = hull.equations  # (F, 4): n.x + d <= 0 inside
-    # facet areas for ranking
     areas = np.zeros(len(eqs))
     for i, simplex in enumerate(hull.simplices):
         a, b, c = points[simplex]
         areas[i] = 0.5 * np.linalg.norm(np.cross(b - a, c - a))
-    # merge near-parallel planes: quantize normals, keep max offset
     merged: dict = {}
     for eq, area in zip(eqs, areas):
         key = tuple(np.round(eq[:3] * 4).astype(int))
         if key in merged:
             n_old, d_old, a_old = merged[key]
-            # outermost = larger d means plane further out for n.x+d<=0?
-            # keep the one enclosing all points: larger d encloses more
+            # keep the enclosing (outermost) offset
             if eq[3] > d_old:
                 merged[key] = (eq[:3], eq[3], a_old + area)
             else:
@@ -205,10 +212,29 @@ def _hull_planes(points: np.ndarray, max_planes: int = MAX_HULL_PLANES):
         else:
             merged[key] = (eq[:3], eq[3], area)
     ranked = sorted(merged.values(), key=lambda t: -t[2])[:max_planes]
-    out = np.zeros((max_planes, 4), dtype=np.float32)
+
+    # per-plane colors: assign each mesh face to its best-aligned plane
+    f_colors, f_areas = _face_colors_areas(mesh)
+    v = mesh.verts
+    f_n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    f_len = np.maximum(np.linalg.norm(f_n, axis=1, keepdims=True), 1e-12)
+    f_n = f_n / f_len
+    plane_ns = np.array([n for n, _, _ in ranked])  # (Q,3)
+    fallback = _mesh_color(mesh)
+    aligns = f_n @ plane_ns.T  # (F, Q)
+    best = np.argmax(aligns, axis=1)
+    out = np.zeros((max_planes, 8), dtype=np.float32)
     for i, (n, d, _) in enumerate(ranked):
         out[i, :3] = n
         out[i, 3] = d
+        sel = (best == i) & (aligns[np.arange(len(best)), best] > 0.5)
+        if sel.any():
+            w = f_areas[sel]
+            out[i, 4:7] = (f_colors[sel] * w[:, None]).sum(0) / max(
+                w.sum(), 1e-9
+            )
+        else:
+            out[i, 4:7] = fallback
     return out
 
 
