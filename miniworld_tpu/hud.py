@@ -70,3 +70,65 @@ def hit_test(boxes: dict, x: int, y: int) -> str | None:
         if x0 <= x <= x1 and y0 <= y <= y1:
             return name
     return None
+
+
+# 3x5 bitmap glyphs for the pose readout (reference draws pose text on
+# the human view, miniworld.py:1744-1770); tiny but dependency-free
+_FONT = {
+    "0": "111101101101111", "1": "010110010010111", "2": "111001111100111",
+    "3": "111001111001111", "4": "101101111001001", "5": "111100111001111",
+    "6": "111100111101111", "7": "111001001001001", "8": "111101111101111",
+    "9": "111101111001111", ".": "000000000000010", "-": "000000111000000",
+    " ": "000000000000000", "x": "000101010101000", "y": "000101010010010",
+    "z": "000111010100111", "d": "001001011101111", "p": "110101110100100",
+    ":": "000010000010000", "=": "000111000111000",
+}
+
+
+def draw_text(frame: np.ndarray, text: str, x: int, y: int,
+              scale: int = 1, color=(255, 255, 0),
+              max_x: int | None = None) -> np.ndarray:
+    """Blit a tiny bitmap string into an RGB frame (in place)."""
+    col = np.array(color, dtype=np.uint8)
+    limit = frame.shape[1] if max_x is None else min(max_x, frame.shape[1])
+    for ch in text:
+        if x >= limit - 4 * scale:
+            break
+        glyph = _FONT.get(ch)
+        if glyph is not None:
+            for gy in range(5):
+                for gx in range(3):
+                    if glyph[gy * 3 + gx] == "1":
+                        y0, x0 = y + gy * scale, x + gx * scale
+                        frame[y0:y0 + scale, x0:x0 + scale] = col
+        x += 4 * scale
+    return frame
+
+
+def compose_human_frame(obs: np.ndarray, top_view: np.ndarray | None,
+                        pose=None) -> np.ndarray:
+    """Reference-style human render: first-person view with a top-view
+    picture-in-picture and the agent pose readout
+    (miniworld.py:1678-1790)."""
+    frame = obs.copy()
+    text_max_x = None
+    h, w = frame.shape[:2]
+    if top_view is not None and h >= 24 and w >= 24:
+        th = min(max(16, h // 3), h - 4)
+        tw = min(max(16, w // 3), w - 4)
+        from PIL import Image
+
+        thumb = np.asarray(
+            Image.fromarray(top_view).resize((tw, th), Image.BILINEAR)
+        )
+        frame[2:2 + th, w - tw - 2:w - 2] = thumb
+        frame[1, w - tw - 3:w - 1] = 255
+        frame[2 + th, w - tw - 3:w - 1] = 255
+        frame[1:3 + th, w - tw - 3] = 255
+        frame[1:3 + th, w - 2] = 255
+        text_max_x = w - tw - 4
+    if pose is not None:
+        px, pz, pdir = pose
+        draw_text(frame, f"x={px:.1f} z={pz:.1f} d={pdir:.1f}", 2, 2,
+                  max_x=text_max_x)
+    return frame

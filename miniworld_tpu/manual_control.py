@@ -115,10 +115,12 @@ class ManualControl:
     """
 
     def __init__(self, env, record_dir: str | None = None, fps: int = 30,
-                 top_view: bool = False, window_scale: int = 6):
+                 top_view: bool = False, window_scale: int = 6,
+                 show_hud: bool = True):
         self.env = env
         self.fps = fps
         self.top_view = top_view
+        self.show_hud = show_hud
         self.window_scale = window_scale
         self.recorder = Recorder(record_dir, fps=fps) if record_dir else None
         u = env.unwrapped if hasattr(env, "unwrapped") else env
@@ -244,11 +246,18 @@ class ManualControl:
                     obs, info = env.reset()
 
             frame = obs["obs"] if isinstance(obs, dict) else obs
+            from miniworld_tpu import hud
+
             if self.top_view:
                 frame = u.render_top_view(u.obs_width, u.obs_height)
+            elif self.show_hud:
+                # reference-style human view: top-view thumbnail + pose
+                tv = u.render_top_view(u.obs_width // 2, u.obs_height // 2)
+                frame = hud.compose_human_frame(
+                    frame, tv,
+                    (u.agent_pos[0], u.agent_pos[2], u.agent_dir),
+                )
             if u.show_controls:
-                from miniworld_tpu import hud
-
                 frame = hud.draw_controls(frame, u.control_boxes)
             surf = pygame.surfarray.make_surface(
                 np.transpose(frame, (1, 0, 2))

@@ -76,6 +76,24 @@ def test_hud_layout_and_hit():
     assert out.sum() > 0 and out.shape == frame.shape
 
 
+def test_compose_human_frame():
+    """Human render view: pose text + top-view PiP (miniworld.py:1678-1790)."""
+    from miniworld_tpu import hud
+
+    obs = np.full((60, 80, 3), 40, np.uint8)
+    tv = np.full((30, 40, 3), 200, np.uint8)
+    out = hud.compose_human_frame(obs, tv, (4.25, -0.4, 1.57))
+    assert out.shape == obs.shape and out.dtype == np.uint8
+    assert np.all(obs == 40)  # input untouched
+    # thumbnail blitted top-right with white border
+    assert np.any(out[4:16, -24:-4] != 40)
+    assert np.all(out[1, -10:-3] == 255)
+    # yellow pose glyphs top-left
+    assert np.any((out[2:8, 2:60] == [255, 255, 0]).all(-1))
+    # no top view / no pose -> pure copy
+    assert np.array_equal(hud.compose_human_frame(obs, None, None), obs)
+
+
 def test_control_action_default_and_camera(env):
     act = env.control_action("fwd")
     assert act == 2 or (hasattr(act, "shape") and act[0] == 1.0)
