@@ -378,6 +378,15 @@ class MiniWorldGym(gym.Env):
             atlas = jnp.asarray(_CATALOG.build_atlas())
             self._render_cache = (bank, atlas)
         bank, atlas = self._render_cache
+        # per-tri atlas index from the eager (reference-rng) variant
+        # choices, so device renders agree with world.tex_map exactly
+        tri_tex_np = np.asarray(bank.tri_tex[0])
+        tm_np = np.asarray(self.world.tex_map, np.int64)
+        tri_slots_np = np.where(
+            tri_tex_np >= 0,
+            tm_np[np.clip(tri_tex_np, 0, len(tm_np) - 1)],
+            -1,
+        ).astype(np.float32)
         E = max(len(self.entities), 1)
         ent_pos = np.zeros((E, 3), np.float32)
         ent_dir = np.zeros(E, np.float32)
@@ -417,6 +426,7 @@ class MiniWorldGym(gym.Env):
             light_color=jnp.asarray(self.light_color, jnp.float32),
             light_ambient=jnp.asarray(self.light_ambient, jnp.float32),
             tex_map=jnp.asarray(np.asarray(self.world.tex_map, np.int32)),
+            tri_slots=jnp.asarray(tri_slots_np),
             task={},
         )
         return bank, atlas, state

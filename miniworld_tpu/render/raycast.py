@@ -95,12 +95,18 @@ def camera_rays(state, width: int, height: int):
     return d.reshape(height * width, 3)
 
 
-def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
+def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
+              slot_override=None):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
     The winning triangle's packed attributes are resolved in-chunk via
     a one-hot matmul, so no per-pixel index survives the scan — and no
     gather is ever issued.
+
+    ``slot_override`` ((S,) f32, optional) replaces the static slot
+    column of the packed attrs with this episode's per-tri atlas index
+    (state.tri_slots) — how per-(room, role) texture-variant
+    randomization reaches the renderer without a slot-table lookup.
     """
     num_tris = bank.tri_verts.shape[-3]
     tri_chunk = min(tri_chunk, num_tris)
@@ -124,6 +130,11 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int):
         mask = jax.lax.dynamic_slice(
             bank.tri_mask, (layout_id, start), (1, tri_chunk)
         )[0]
+        if slot_override is not None:
+            ov = jax.lax.dynamic_slice(slot_override, (start,), (tri_chunk,))
+            attrs = jnp.concatenate(
+                [attrs[:, :_SLOT], ov[:, None], attrs[:, _SLOT + 1:]], axis=1
+            )
 
         v0 = verts[:, 0]
         e1 = verts[:, 1] - v0
@@ -200,7 +211,9 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     """Evaluate the Fourier texture model per pixel.
 
     Args:
-      coeffs_env: (T, 3+8K) this env's texture table (tex_map applied).
+      coeffs_env: (A, 3+8K) texture table. In the render path this is
+        the full shared atlas and ``slot`` already holds per-pixel
+        atlas indices (variant randomization resolved per tri).
       slot: (HW,) f32 texture slot per pixel (from the attr matmul;
         exact for small ints), -1 or padding => flat white.
       uv: (HW, 2).
@@ -516,7 +529,10 @@ def render_rgbd(
     )
     dirs = camera_rays(state, width, height)  # (HW,3)
 
-    t_tri, attr = _tri_pass(bank, layout_id, origin, dirs, tri_chunk)
+    t_tri, attr = _tri_pass(
+        bank, layout_id, origin, dirs, tri_chunk,
+        slot_override=state.tri_slots if tex["mode"] == "fourier" else None,
+    )
     t_ent, col_ent, n_ent = _entity_pass(
         bank, layout_id, state, origin, dirs, shapes_present
     )
@@ -535,9 +551,11 @@ def render_rgbd(
         + attr[:, _BMAP]
     )
     if tex["mode"] == "fourier":
-        # per-env texture table with domain-randomized variants applied:
-        # a tiny (T,) row gather, not a per-pixel one
-        coeffs_env = tex["coeffs"][state.tex_map]
+        # The slot column already carries this episode's per-tri ATLAS
+        # index (tri_slots override above), so the texture table is the
+        # full atlas, shared by every env — no per-env table gather, and
+        # per-(room, role) variant randomization costs nothing here.
+        coeffs_env = tex["coeffs"]
         # uv-space pixel footprint ~ hit distance x pixel angle x the
         # texture map's scale (norm of the affine rows)
         pix_angle = jnp.tan(jnp.deg2rad(state.cam_fov_y) * 0.5) * (2.0 / height)

@@ -43,6 +43,8 @@ class Layout:
     tri_uv: np.ndarray  # (S,3,2) f32
     tri_normal: np.ndarray  # (S,3) f32
     tri_tex: np.ndarray  # (S,) i32 texture slot, -1 = flat color
+    tri_tex_base: np.ndarray  # (S,) f32 atlas base index of the tri's slot, -1 = flat
+    tri_tex_count: np.ndarray  # (S,) f32 number of texture variants of the tri's slot
     tri_color: np.ndarray  # (S,3) f32
     tri_mask: np.ndarray  # (S,) bool
     # collision
@@ -94,6 +96,8 @@ class Layout:
             tri_uv=_pad(self.tri_uv, s["S"]),
             tri_normal=_pad(self.tri_normal, s["S"]),
             tri_tex=_pad(self.tri_tex, s["S"], fill=-1),
+            tri_tex_base=_pad(self.tri_tex_base, s["S"], fill=-1.0),
+            tri_tex_count=_pad(self.tri_tex_count, s["S"], fill=1.0),
             tri_color=_pad(self.tri_color, s["S"]),
             tri_mask=_pad(self.tri_mask, s["S"], fill=False),
             segs=_pad(self.segs, s["W"]),
@@ -224,6 +228,17 @@ def compile_world(world: World) -> Layout:
     tri_attr[:, 14] = tri_tex.astype(np.float32)
     tri_attr[:, 15] = 1.0
 
+    # Per-tri atlas base / variant count (static): lets the renderer
+    # resolve per-episode texture-variant randomization with pure
+    # per-tri arithmetic (state.tri_slots) instead of a slot-table
+    # lookup — per-(room, role) slots made that table 3x#rooms wide
+    # and a per-pixel slot one-hot over it was a 22 GB intermediate.
+    slot_base = np.array([b for b, _ in world.tex_slots] or [0], np.int64)
+    slot_count = np.array([c for _, c in world.tex_slots] or [1], np.int64)
+    safe_tex = np.clip(tri_tex, 0, len(world.tex_slots) - 1 if world.tex_slots else 0)
+    tri_tex_base = np.where(tri_tex >= 0, slot_base[safe_tex], -1).astype(np.float32)
+    tri_tex_count = np.where(tri_tex >= 0, slot_count[safe_tex], 1).astype(np.float32)
+
     segs = world._wall_segs.astype(np.float32)
     seg_mask = np.ones(segs.shape[0], dtype=bool)
 
@@ -324,7 +339,9 @@ def compile_world(world: World) -> Layout:
     return Layout(
         tri_verts=tri_verts, tri_attr=tri_attr,
         tri_uv=tri_uv, tri_normal=tri_normal,
-        tri_tex=tri_tex, tri_color=tri_color, tri_mask=tri_mask,
+        tri_tex=tri_tex, tri_tex_base=tri_tex_base,
+        tri_tex_count=tri_tex_count,
+        tri_color=tri_color, tri_mask=tri_mask,
         segs=segs, seg_mask=seg_mask,
         room_outline=room_outline, room_norms=room_norms,
         room_vmask=room_vmask, room_mask=room_mask,

@@ -227,19 +227,18 @@ class World:
             # Slot registration (and eager variant sampling) in the
             # reference's Texture.get order: wall, floor, ceil — three
             # rng draws per room with domain randomization on
-            # (miniworld.py:296-298). Slots are shared BY NAME: the
-            # reference randomizes the texture variant per room, but a
-            # per-(room, role) slot table scales with the room count
-            # (3 x 127 slots for an 8x8 maze) and the renderer's
-            # per-pixel slot one-hot with it — a 22 GB intermediate at
-            # 1024 envs. Sharing by name coarsens variant randomization
-            # to once per texture per episode (documented deviation);
-            # the rng is still consumed once per room for parity.
-            wall_s = self.tex_slot(room.wall_tex_name)
+            # (miniworld.py:296-298). Slots are PER (room, role), like
+            # the reference's per-room Texture.get calls, so each room
+            # randomizes its texture variants independently. The
+            # renderer never indexes this table per pixel (a slot
+            # one-hot over 3 x #rooms slots was a 22 GB intermediate on
+            # an 8x8 maze at 1024 envs); variant draws reach it as a
+            # per-triangle atlas index instead (EnvState.tri_slots).
+            wall_s = self.tex_slot(room.wall_tex_name, tag=("room", ri, 0))
             self._sample_tex_variant(wall_s, rand)
-            floor_s = self.tex_slot(room.floor_tex_name)
+            floor_s = self.tex_slot(room.floor_tex_name, tag=("room", ri, 1))
             self._sample_tex_variant(floor_s, rand)
-            ceil_s = self.tex_slot(room.ceil_tex_name)
+            ceil_s = self.tex_slot(room.ceil_tex_name, tag=("room", ri, 2))
             self._sample_tex_variant(ceil_s, rand)
 
             slot_map = {

@@ -47,6 +47,11 @@ class EnvState:
     light_color: jax.Array  # (3,) f32
     light_ambient: jax.Array  # (3,) f32
     tex_map: jax.Array  # (T,) i32 texture slot -> atlas index
+    # (S,) f32 per-triangle atlas index with this episode's variant
+    # randomization applied (-1 = flat color). Same draws as tex_map
+    # (keyed hash of the slot id), but resolved per tri so the fourier
+    # renderer needs no per-pixel slot-table lookup.
+    tri_slots: jax.Array
 
     # env-specific task state (dict pytree; static structure per class)
     task: Any = struct.field(default_factory=dict)

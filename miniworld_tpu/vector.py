@@ -40,8 +40,21 @@ from miniworld_tpu.state import EnvState, StepResult, tree_select
 # except the triangle soup, which the renderer indexes chunk-wise).
 _TRI_FIELDS = (
     "tri_verts", "tri_attr", "tri_uv", "tri_normal", "tri_tex",
-    "tri_color", "tri_mask",
+    "tri_tex_base", "tri_tex_count", "tri_color", "tri_mask",
 )
+
+
+def _hash01(key: jax.Array, ids: jax.Array) -> jax.Array:
+    """Counter-based uniform in [0,1) keyed on (key, id): same id =>
+    same draw within an episode, so every triangle of a (room, role)
+    texture slot picks the same variant while distinct slots draw
+    independently (the reference samples one variant per Texture.get
+    call, opengl.py:136-140). Wang/lowbias32-style integer mix."""
+    x = ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) ^ key
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
@@ -287,15 +300,28 @@ class MiniWorldVec:
         cam_pitch = self._sample_param(pk[6], "cam_pitch")
         cam_fov_y = self._sample_param(pk[7], "cam_fov_y")
 
-        # texture variants (opengl.py:136-140)
+        # Texture variants (opengl.py:136-140): one independent draw per
+        # (room, role) slot via a keyed hash of the slot id, resolved
+        # both as the slot table (tex_map, for the nearest/top-view
+        # paths) and per triangle (tri_slots, for the fourier renderer —
+        # no per-pixel slot-table lookup).
         n_slots = lay.tex_slot_base.shape[0]
+        tri_base = bank.tri_tex_base[layout_id]
+        tri_count = bank.tri_tex_count[layout_id]
         if self.domain_rand:
-            u = jax.random.uniform(ks[8], (n_slots,))
-            offs = jnp.floor(u * lay.tex_slot_count.astype(jnp.float32)).astype(jnp.int32)
-            offs = jnp.minimum(offs, lay.tex_slot_count - 1)
+            tkey = jax.random.bits(ks[8], (), jnp.uint32)
+            u = _hash01(tkey, jnp.arange(n_slots, dtype=jnp.int32))
+            offs = jnp.minimum(
+                jnp.floor(u * lay.tex_slot_count.astype(jnp.float32)).astype(jnp.int32),
+                lay.tex_slot_count - 1,
+            )
+            u_t = _hash01(tkey, bank.tri_tex[layout_id])
+            offs_t = jnp.minimum(jnp.floor(u_t * tri_count), tri_count - 1.0)
         else:
             offs = jnp.zeros((n_slots,), jnp.int32)
+            offs_t = jnp.zeros_like(tri_count)
         tex_map = lay.tex_slot_base + offs
+        tri_slots = jnp.where(tri_base >= 0.0, tri_base + offs_t, -1.0)
 
         task = jax.tree.map(jnp.asarray, spec.init_task())
         state = EnvState(
@@ -310,7 +336,7 @@ class MiniWorldVec:
             step_count=jnp.int32(0), rng=ks[9], layout_id=layout_id,
             sky_color=sky_color, light_pos=light_pos,
             light_color=light_color, light_ambient=light_ambient,
-            tex_map=tex_map, task=task,
+            tex_map=tex_map, tri_slots=tri_slots, task=task,
         )
         return spec.post_reset(lay, state, ks[10])
 

@@ -121,6 +121,39 @@ def test_texture_modes_agree_statistically():
     assert float(np.median(diff)) < 25.0
 
 
+def test_per_room_texture_variants():
+    """Texture-variant randomization is per (room, role) slot like the
+    reference's per-room Texture.get (miniworld.py:296-298): each slot
+    draws independently, every tri of a slot shares its draw, and the
+    per-tri resolution agrees with the slot table."""
+    env = MiniWorldVec("FourRooms", num_envs=4, obs_width=W, obs_height=H,
+                       domain_rand=True)
+    state, _ = env.reset(jax.random.key(3))
+    bank = env._bank
+    tt = np.asarray(bank.tri_tex[0])
+    counts = np.asarray(bank.tex_slot_count[0])
+    for e in range(4):
+        tm = np.asarray(state.tex_map[e])
+        ts = np.asarray(state.tri_slots[e])
+        valid = tt >= 0
+        # per-tri resolution == slot-table resolution
+        assert np.array_equal(
+            ts[valid], tm[tt[valid]].astype(np.float32)
+        )
+        # draws stay inside each slot's variant range
+        base = np.asarray(bank.tex_slot_base[0])
+        offs = tm - base
+        assert np.all((offs >= 0) & (offs < np.maximum(counts, 1)))
+    # independence: slots of multi-variant textures must not all agree
+    # in every env (4 rooms x 3 roles x 4 envs of >=2-variant slots)
+    multi = counts > 1
+    if multi.sum() >= 2:
+        draws = np.stack(
+            [np.asarray(state.tex_map[e])[multi] for e in range(4)]
+        ) - np.asarray(bank.tex_slot_base[0])[multi]
+        assert len(np.unique(draws)) > 1, draws
+
+
 def test_top_view_shows_agent():
     from miniworld_tpu.gym_env import MiniWorldGym
 
