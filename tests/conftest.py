@@ -22,5 +22,13 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# The env var alone is NOT sufficient here: the machine's sitecustomize
+# registers the TPU plugin and force-sets jax_platforms="axon,cpu" via
+# jax.config.update, which overrides JAX_PLATFORMS — so "CPU" test runs
+# silently grab the TPU whenever the chip is free. Re-asserting the
+# config AFTER import wins deterministically (and restores the 8
+# virtual host devices).
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/miniworld_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
