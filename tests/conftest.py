@@ -30,5 +30,28 @@ import jax  # noqa: E402
 # virtual host devices).
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/miniworld_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# The persistent compilation cache is DISABLED here: on this machine
+# (TPU plugin hooked into every process via sitecustomize) cache writes
+# of the big test executables SIGABRT and reads of entries written by a
+# previous process SIGSEGV — both deep in jax's executable
+# (de)serialization, reproducibly, even on a freshly wiped cache dir.
+# Cold compiles cost a few extra minutes per full run; a suite that
+# segfaults at 59% costs more.
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    XLA:CPU segfaults in backend_compile_and_load once a single process
+    has accumulated a few hundred live compiled programs (reproducible
+    at the same spot in a full-suite run; the same test passes in a
+    fresh process). Releasing executables bounds the JIT state and
+    keeps the one-process suite stable.
+    """
+    yield
+    jax.clear_caches()
