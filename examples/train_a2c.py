@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 import argparse
+import json
 import time
 
 import jax
@@ -35,8 +36,11 @@ def main():
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--obs", default="64x48")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--checkpoint", default=None,
                    help="orbax path to save params+env state each 50 iters")
+    p.add_argument("--metrics", default=None,
+                   help="path for per-iteration JSONL metrics")
     args = p.parse_args()
     obs_w, obs_h = map(int, args.obs.split("x"))
 
@@ -53,32 +57,55 @@ def main():
 
     env = MiniWorldVec(args.env, num_envs=num_envs, obs_width=obs_w,
                        obs_height=obs_h)
-    step, init = make_train_step(env, mesh, horizon=args.horizon, lr=args.lr)
-    params, state, obs, depth = init(jax.random.key(args.seed))
+    step, init = make_train_step(env, mesh, horizon=args.horizon, lr=args.lr,
+                                 gamma=args.gamma)
+    tstate, state, obs, depth = init(jax.random.key(args.seed))
     state = shard_env_batch(mesh, state)
     obs = shard_env_batch(mesh, obs)
     depth = shard_env_batch(mesh, depth)
 
+    metrics_f = open(args.metrics, "w") if args.metrics else None
     key = jax.random.key(args.seed + 1)
     t0 = time.perf_counter()
     steps_done = 0
+    last_t, last_steps = t0, 0
     for it in range(args.iters):
         key, k = jax.random.split(key)
-        params, state, obs, depth, metrics = step(params, state, obs, depth, k)
+        tstate, state, obs, depth, metrics = step(tstate, state, obs, depth, k)
         steps_done += args.horizon * num_envs
+        loss = float(metrics["loss"])
+        rew = float(metrics["reward"])
+        dones = int(metrics["dones"])
+        now = time.perf_counter()
+        row = {
+            "iter": it,
+            "loss": loss,
+            "reward": rew,
+            "reward_per_step": rew / (args.horizon * num_envs),
+            "return_mean": float(metrics["return_mean"]),
+            "episodes": dones,
+            "resets_per_s": dones / max(now - last_t, 1e-9),
+            "env_steps": steps_done,
+            "env_steps_per_s": (steps_done - last_steps) / max(now - last_t, 1e-9),
+            "env_steps_per_s_per_chip": (steps_done - last_steps)
+            / max(now - last_t, 1e-9) / n_dev,
+        }
+        last_t, last_steps = now, steps_done
+        if metrics_f:
+            metrics_f.write(json.dumps(row) + "\n")
+            metrics_f.flush()
         if it % 10 == 0 or it == args.iters - 1:
-            loss = float(metrics["loss"])
-            rew = float(metrics["reward"])
-            dones = int(metrics["dones"])
-            sps = steps_done / (time.perf_counter() - t0)
+            sps = steps_done / (now - t0)
             print(f"iter {it:4d}  loss {loss:8.4f}  reward/iter {rew:8.1f}  "
                   f"episodes {dones:5d}  {sps:,.0f} env-steps/s")
         if args.checkpoint and it and it % 50 == 0:
             from miniworld_tpu.utils import checkpoint
 
             checkpoint.save(f"{args.checkpoint}/it{it:06d}",
-                            {"params": params, "env_state": state})
+                            {"train_state": tstate, "env_state": state})
             print(f"checkpointed at iter {it}")
+    if metrics_f:
+        metrics_f.close()
 
 
 if __name__ == "__main__":

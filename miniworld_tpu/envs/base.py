@@ -77,9 +77,6 @@ class EnvSpec:
     # Agent bounding radius (RoomObjects overrides to 1.5,
     # roomobjects.py:67; otherwise entity.py:470)
     agent_radius: float = 0.4
-    # When True, layout selection at reset is semantic (Sign: layout
-    # index == sign color), not uniform-random.
-    layout_is_task: bool = False
 
     @property
     def max_forward_step(self) -> float:

@@ -21,6 +21,21 @@ WALL_OFFSET = 0.1
 CAMERA_HEIGHT = 1.5
 
 
+def _wall_pose_host(wall: int, size: float):
+    """Float64 camera position/yaw for wall 0..3 — the host-adapter
+    path must not round the mount through f32 (cameracontrol.py:152-179
+    stores exact float64 positions)."""
+    center = size / 2
+    poses = [
+        [size - WALL_OFFSET, CAMERA_HEIGHT, center],
+        [center, CAMERA_HEIGHT, WALL_OFFSET],
+        [WALL_OFFSET, CAMERA_HEIGHT, center],
+        [center, CAMERA_HEIGHT, size - WALL_OFFSET],
+    ]
+    yaws = [math.pi, -math.pi / 2, 0.0, math.pi / 2]
+    return np.array(poses[wall], dtype=np.float64), yaws[wall]
+
+
 def _wall_pose(wall: jax.Array, size: float):
     """Camera position/yaw for wall 0..3 (cameracontrol.py:152-179)."""
     center = size / 2
@@ -171,8 +186,7 @@ class CameraControl(EnvSpec):
 
     def host_reset(self, env, rng):
         wall = self._eager_wall
-        pos, yaw = _wall_pose(jnp.int32(wall), self.size)
-        pos = np.asarray(pos, dtype=np.float64)
+        pos, yaw = _wall_pose_host(int(wall), self.size)
         env.agent_pos = pos * np.array([1.0, 0.0, 1.0])
         env.agent_dir = float(yaw)
         env.cam_pitch = 0.0

@@ -291,7 +291,6 @@ class Sign(EnvSpec):
     goal: int = 0
     color_index: int = 0
     num_layouts: int = 3
-    layout_is_task: bool = True
     dict_obs: bool = True
     end_action_index: int = 3
     discrete_actions: np.ndarray = field(

@@ -467,7 +467,9 @@ class Sidewalk(GoToEnvSpec):
 
         world.bake_mesh("building", 30, pos=np.array([30.0, 0, 30]), direction=-math.pi)
         for i in range(1, int(sidewalk.max_z) // 2):
-            world.bake_mesh("cone", 0.75, pos=np.array([1.0, 0, 2 * i]), direction=0.0)
+            # no dir → one rng uniform per cone, like the reference's
+            # place_entity(..., pos=...) (sidewalk.py:82-84)
+            world.bake_mesh("cone", 0.75, pos=np.array([1.0, 0, 2 * i]))
         self.goal_slot = world.place(
             world.proto_id("box", "red"),
             room=sidewalk, min_z=sidewalk.max_z - 2, max_z=sidewalk.max_z,

@@ -82,8 +82,12 @@ class MiniWorldGym(gym.Env):
         render_mode: Optional[str] = None,
         max_episode_steps: Optional[int] = None,
         show_controls: bool = False,
+        skip_obs: bool = False,
         **spec_kwargs,
     ):
+        # skip_obs: return zero observations instead of raycasting.
+        # Rendering consumes no rng, so trajectories are unchanged —
+        # used by physics-parity tests that step thousands of times.
         if isinstance(spec, str):
             from miniworld_tpu.envs import make_spec
 
@@ -126,6 +130,7 @@ class MiniWorldGym(gym.Env):
             self.observation_space = img_space
 
         self.show_controls = show_controls
+        self.skip_obs = skip_obs
         # agent state (entity.py:455-529)
         self.agent_radius = spec.agent_radius
         self._render_cache = None
@@ -310,6 +315,12 @@ class MiniWorldGym(gym.Env):
 
             action_idx = -1
             if np.isscalar(action) or np.ndim(action) == 0:
+                if self._discrete_actions is None:
+                    raise ValueError(
+                        f"Scalar action {action!r} passed to an env with a "
+                        "continuous Box(6) action space; pass a 6-vector or "
+                        "install a mapping with set_discrete_actions()."
+                    )
                 action_idx = int(action)
                 if not 0 <= action_idx < len(self._discrete_actions):
                     raise ValueError(
@@ -320,11 +331,16 @@ class MiniWorldGym(gym.Env):
             # NaN/inf actions would silently corrupt the agent pose
             # (np.clip passes NaN through)
             action = np.nan_to_num(action, nan=0.0, posinf=1.0, neginf=-1.0)
+            # the action vector STAYS float32 through the step math —
+            # the reference clips against its float32 Box bounds and
+            # multiplies f32 components into the f64 step sizes
+            # (miniworld.py:778-787); bit-parity requires the same
+            # f32-rounded deltas
             action = np.clip(
                 action,
-                [-1, -1, -1, -1, 0, 0],
-                [1, 1, 1, 1, 1, 1],
-            ).astype(np.float64)
+                np.array([-1, -1, -1, -1, 0, 0], np.float32),
+                np.array([1, 1, 1, 1, 1, 1], np.float32),
+            )
 
             yaw_delta = action[2] * turn_step * math.pi / 180
             pitch_delta = action[3] * turn_step
@@ -433,6 +449,13 @@ class MiniWorldGym(gym.Env):
 
     def render_obs(self, depth: bool = False):
         """First-person RGB (miniworld.py:1260-1303); exact textures."""
+        if self.skip_obs:
+            rgb = np.zeros((self.obs_height, self.obs_width, 3), np.uint8)
+            if depth:
+                return rgb, np.zeros(
+                    (self.obs_height, self.obs_width, 1), np.float32
+                )
+            return rgb
         from miniworld_tpu.render.raycast import render_rgbd
 
         bank, atlas, state = self._build_render_state()
@@ -524,10 +547,57 @@ class MiniWorldGym(gym.Env):
 
                 frame = hud.draw_controls(frame, self.control_boxes)
             return frame
+        if self.render_mode == "human":
+            # Interactive window with pose readout + top-view PiP, the
+            # reference's human render (miniworld.py:1678-1790: agent
+            # view into vis_fb, obs thumbnail, pose text). Composed
+            # with the pygame/hud stack since there is no GL here.
+            from miniworld_tpu import hud
+
+            frame = hud.compose_human_frame(
+                self.render_obs(),
+                self.render_top_view(),
+                pose=(self.agent_pos[0], self.agent_pos[2],
+                      math.degrees(self.agent_dir)),
+            )
+            if self.show_controls:
+                frame = hud.draw_controls(frame, self.control_boxes)
+            self._blit_human(frame)
+            return None
         return None
 
+    def _blit_human(self, frame: np.ndarray):
+        """Push a frame to the lazily-created pygame window. Uses the
+        SDL dummy driver automatically when no display is available
+        (headless CI), where the window is a no-op surface."""
+        import os
+
+        import pygame
+
+        if not hasattr(self, "_pygame_screen"):
+            if "DISPLAY" not in os.environ and "SDL_VIDEODRIVER" not in os.environ:
+                os.environ["SDL_VIDEODRIVER"] = "dummy"
+            pygame.init()
+            h, w = frame.shape[:2]
+            scale = max(1, 600 // max(h, 1))
+            self._pygame_scale = scale
+            self._pygame_screen = pygame.display.set_mode((w * scale, h * scale))
+            pygame.display.set_caption(f"miniworld-tpu: {self.spec_def.name}")
+        surf = pygame.surfarray.make_surface(np.transpose(frame, (1, 0, 2)))
+        if self._pygame_scale > 1:
+            surf = pygame.transform.scale(
+                surf, self._pygame_screen.get_size()
+            )
+        self._pygame_screen.blit(surf, (0, 0))
+        pygame.display.flip()
+        pygame.event.pump()
+
     def close(self):
-        pass
+        if hasattr(self, "_pygame_screen"):
+            import pygame
+
+            pygame.display.quit()
+            del self._pygame_screen
 
     # -- helpers ----------------------------------------------------------
 

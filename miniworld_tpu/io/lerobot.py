@@ -188,6 +188,7 @@ class DatasetManager:
                 self._episode_rows.append({
                     "episode_index": int(row["episode_index"]),
                     "chunk_index": int(row.get("data/chunk_index", 0)),
+                    "file_index": int(row.get("data/file_index", 0)),
                     "from": int(row["dataset_from_index"]),
                     "to": int(row["dataset_to_index"]),
                     "tasks": list(row.get("tasks") or [self.default_task]),
@@ -213,7 +214,11 @@ class DatasetManager:
             return
         idx = self._file_index
         self._file_index += 1
-        chunk = 0
+        # The reference writer advances chunk_index and file_index in
+        # lockstep — every episode file lives in its own chunk dir
+        # (lerobot_writer.py:534-535, 558-560) — so a LeRobot reader
+        # resolving the episodes table's template paths finds the files.
+        chunk = idx
         data_path = self.root / DATA_TEMPLATE.format(
             chunk_index=chunk, file_index=idx
         )
@@ -249,7 +254,8 @@ class DatasetManager:
         self._update_stats(episode)
         self._episode_rows.append({
             "episode_index": self.num_episodes,
-            "chunk_index": idx,
+            "chunk_index": chunk,
+            "file_index": idx,
             "from": start,
             "to": start + len(episode),
             "tasks": [episode.task],
@@ -387,11 +393,11 @@ class DatasetManager:
             [
                 pa.array([r["episode_index"] for r in rows], type=pa.int64()),
                 pa.array([r["chunk_index"] for r in rows], type=pa.int64()),
-                pa.array([r["chunk_index"] for r in rows], type=pa.int64()),
+                pa.array([r["file_index"] for r in rows], type=pa.int64()),
                 pa.array([r["from"] for r in rows], type=pa.int64()),
                 pa.array([r["to"] for r in rows], type=pa.int64()),
                 pa.array([r["chunk_index"] for r in rows], type=pa.int64()),
-                pa.array([r["chunk_index"] for r in rows], type=pa.int64()),
+                pa.array([r["file_index"] for r in rows], type=pa.int64()),
                 pa.array(
                     [r["from"] / float(self.fps) for r in rows], type=pa.float32()
                 ),

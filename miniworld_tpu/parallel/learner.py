@@ -102,12 +102,36 @@ def sgd_update(params, grads, lr: float = 3e-4):
     return jax.tree.map(lambda p, g: p - lr * g, params, grads)
 
 
-def grad_step(params, rgb, depth, actions, returns, *, lr: float = 3e-4,
+def adam_init(params) -> dict:
+    return {
+        "m": jax.tree.map(jnp.zeros_like, params),
+        "v": jax.tree.map(jnp.zeros_like, params),
+        "t": jnp.zeros((), jnp.int32),
+    }
+
+
+def adam_update(params, grads, opt, *, lr: float = 3e-4, b1: float = 0.9,
+                b2: float = 0.999, eps: float = 1e-8):
+    t = opt["t"] + 1
+    m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, opt["m"], grads)
+    v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, opt["v"], grads)
+    scale = lr * jnp.sqrt(1 - b2 ** t.astype(jnp.float32)) / (
+        1 - b1 ** t.astype(jnp.float32)
+    )
+    params = jax.tree.map(
+        lambda p, m_, v_: p - scale * m_ / (jnp.sqrt(v_) + eps), params, m, v
+    )
+    return params, {"m": m, "v": v, "t": t}
+
+
+def grad_step(params, opt, rgb, depth, actions, returns, *, lr: float = 3e-4,
               axis_name: str | None = DATA_AXIS):
-    """One A2C gradient step; grads psum-averaged over the mesh axis
-    when ``axis_name`` is set (i.e. inside shard_map/pmap)."""
+    """One A2C Adam step on a batch of (obs, action, return) transitions;
+    grads psum-averaged over the mesh axis when ``axis_name`` is set
+    (i.e. inside shard_map/pmap)."""
     loss, grads = jax.value_and_grad(a2c_loss)(params, rgb, depth, actions, returns)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
         loss = jax.lax.pmean(loss, axis_name)
-    return sgd_update(params, grads, lr), loss
+    params, opt = adam_update(params, grads, opt, lr=lr)
+    return params, opt, loss

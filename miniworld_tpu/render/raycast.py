@@ -54,8 +54,8 @@ import jax.numpy as jnp
 from miniworld_tpu.ops import geom
 from miniworld_tpu.scene.entities import (
     SHAPE_BOX,
-    SHAPE_HULL,
     SHAPE_MESH_BOX,
+    SHAPE_MESH_TRIS,
     SHAPE_SPHERE,
 )
 
@@ -95,8 +95,41 @@ def camera_rays(state, width: int, height: int):
     return d.reshape(height * width, 3)
 
 
+def room_of_point(bank, layout_id, p_xz):
+    """Index of the room containing (or nearest to) a 2D point.
+
+    Argmax over rooms of convex insideness (min over edges of
+    inward-normal distance; Room.point_inside semantics,
+    miniworld/miniworld.py:273-285) — robust at portal boundaries,
+    where a strict inside test can reject both adjacent rooms in f32.
+    """
+    outline = bank.room_outline[layout_id]  # (R, V, 2)
+    norms = bank.room_norms[layout_id]
+    vmask = bank.room_vmask[layout_id]
+    rmask = bank.room_mask[layout_id]
+    d = jnp.sum(norms * (p_xz[None, None, :] - outline), axis=-1)  # (R, V)
+    score = jnp.min(jnp.where(vmask, d, jnp.inf), axis=1)
+    score = jnp.where(rmask, score, -jnp.inf)
+    return jnp.argmax(score)
+
+
+def chunk_schedule(bank, chunk_vis, layout_id, origin, sched_len: int):
+    """PVS chunk schedule for one env: the indices of triangle chunks
+    potentially visible from the camera's room, compacted to a STATIC
+    length (scene/pvs.py computes the visibility; the vector layer
+    sizes ``sched_len`` as the worst case over (layout, room), so
+    compaction never drops an active chunk). Inactive tail slots hold
+    the sentinel n_chunks, which the chunk scan clamps to a repeat of
+    the last chunk — re-rendering triangles is a no-op under z-min.
+    """
+    vis = chunk_vis[layout_id, :, room_of_point(bank, layout_id, origin[jnp.array([0, 2])])]
+    n_chunks = vis.shape[0]
+    keys = jnp.where(vis, jnp.arange(n_chunks, dtype=jnp.int32), n_chunks)
+    return jax.lax.sort(keys)[:sched_len]
+
+
 def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
-              slot_override=None):
+              slot_override=None, chunk_sched=None):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
     The winning triangle's packed attributes are resolved in-chunk via
@@ -107,6 +140,10 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
     column of the packed attrs with this episode's per-tri atlas index
     (state.tri_slots) — how per-(room, role) texture-variant
     randomization reaches the renderer without a slot-table lookup.
+
+    ``chunk_sched`` ((N,) i32, optional) restricts the scan to the
+    given chunk indices (PVS culling; see chunk_schedule). Out-of-range
+    sentinel entries re-render the last chunk, which is harmless.
     """
     num_tris = bank.tri_verts.shape[-3]
     tri_chunk = min(tri_chunk, num_tris)
@@ -200,9 +237,8 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
         jnp.full(hw, jnp.inf, jnp.float32),
         jnp.zeros((hw, ATTR_DIM), jnp.float32),
     )
-    (t_best, attr_best), _ = jax.lax.scan(
-        body, init, jnp.arange(n_chunks, dtype=jnp.int32)
-    )
+    xs = jnp.arange(n_chunks, dtype=jnp.int32) if chunk_sched is None else chunk_sched
+    (t_best, attr_best), _ = jax.lax.scan(body, init, xs)
     return t_best, attr_best
 
 
@@ -307,17 +343,155 @@ def eval_nearest(atlas: jax.Array, tex_map: jax.Array, slot: jax.Array,
     return jnp.where((slot_i >= 0)[:, None], texel, 1.0)
 
 
+def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
+    """Triangle intersection for dynamic mesh entities (keys, duckies,
+    medkits): each SHAPE_MESH_TRIS prototype carries its decimated
+    LOCAL-space triangle rows (scene/entities._mesh_tri_rows); per
+    frame the ray is transformed into the entity frame (rotation about
+    Y, uniform size_mul scale, translation — an affine map, so the ray
+    parameter t stays world-comparable) and the packed attrs are
+    composed back to world space. Returns (t, attr) merged across
+    entities, directly competitive with the static chunk pass — the
+    winning mesh triangle goes through the SAME texture evaluation,
+    so dynamic meshes are textured exactly like baked static ones
+    (reference renders both via ObjMesh.render, objmesh.py:280-292).
+
+    ``fourier``: translate the layout-local texture slot column to the
+    shared-atlas index (mesh textures have a single variant) so the
+    merged attr feeds eval_fourier; the nearest path keeps local slots
+    (eval_nearest resolves them through state.tex_map).
+    """
+    hw = dirs.shape[0]
+    num_ents = state.ent_pos.shape[0]
+    proto_shape = bank.proto_shape[layout_id]
+    proto_static = bank.proto_static[layout_id]
+    proto_height = bank.proto_height[layout_id]
+    tex_base = bank.tex_slot_base[layout_id].astype(jnp.float32)
+
+    def body(carry, e):
+        t_best, attr_best = carry
+        p = state.ent_proto[e]
+        rows = bank.proto_mesh[layout_id, p]  # (M, 25)
+        rmask = bank.proto_mesh_mask[layout_id, p]  # (M,)
+        active = (
+            state.ent_alive[e]
+            & ~proto_static[p]
+            & (proto_shape[p] == SHAPE_MESH_TRIS)
+        )
+        su = state.ent_height[e] / jnp.maximum(proto_height[p], 1e-9)
+        pos = state.ent_pos[e]
+        cd, sd = jnp.cos(state.ent_dir[e]), jnp.sin(state.ent_dir[e])
+        # world = R @ local with R = rot_y(dir); R columns:
+        col_x = jnp.stack([cd, 0.0, -sd])
+        col_y = jnp.array([0.0, 1.0, 0.0])
+        col_z = jnp.stack([sd, 0.0, cd])
+
+        def to_local(w):  # R^T w, for (...,3)
+            return jnp.stack(
+                [w @ col_x, w @ col_y, w @ col_z], axis=-1
+            )
+
+        inv_su = 1.0 / jnp.maximum(su, 1e-9)
+        o_l = to_local(origin - pos) * inv_su  # (3,)
+        d_l = to_local(dirs) * inv_su  # (HW, 3)
+
+        verts = rows[:, 0:9].reshape(-1, 3, 3)
+        v0 = verts[:, 0]
+        e1 = verts[:, 1] - v0
+        e2 = verts[:, 2] - v0
+        s = o_l[None, :] - v0
+
+        g_det = jnp.cross(e2, e1)
+        g_u = jnp.cross(e2, s)
+        g_v = jnp.cross(s, e1)
+        t_num = jnp.sum(e2 * g_v, axis=-1)
+
+        def contract(g):
+            return (
+                g[:, 0:1] * d_l[None, :, 0]
+                + g[:, 1:2] * d_l[None, :, 1]
+                + g[:, 2:3] * d_l[None, :, 2]
+            )
+
+        det = contract(g_det)  # (M, HW)
+        u_num = contract(g_u)
+        v_num = contract(g_v)
+        inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
+        t = t_num[:, None] * inv_det
+        hit = (
+            (det > 1e-12)
+            & (u_num >= 0.0)
+            & (v_num >= 0.0)
+            & (u_num + v_num <= det)
+            & (t > NEAR)
+            & (t < FAR)
+            & (rmask & active)[:, None]
+        )
+        t = jnp.where(hit, t, jnp.inf)
+
+        # compose local attrs -> world: for a local-UV row vector a,
+        # a . p_l = ((R a) / su) . (p - pos), so A_w = R a / su and
+        # b_w = b_l - A_w . pos; normals rotate (uniform scale).
+        def to_world_rows(a):  # (M, 3) local row vectors -> R a
+            return (
+                a[:, 0:1] * col_x[None, :]
+                + a[:, 1:2] * col_y[None, :]
+                + a[:, 2:3] * col_z[None, :]
+            )
+
+        a1 = to_world_rows(rows[:, 9:12]) * inv_su
+        a2 = to_world_rows(rows[:, 12:15]) * inv_su
+        b1 = rows[:, 15] - a1 @ pos
+        b2 = rows[:, 16] - a2 @ pos
+        nrm = to_world_rows(rows[:, 17:20])
+        slot = rows[:, 23]
+        if fourier:
+            # local slot -> shared-atlas index (single-variant textures)
+            slot_i = jnp.maximum(jnp.round(slot).astype(jnp.int32), 0)
+            slot = jnp.where(slot >= 0.0, tex_base[slot_i], -1.0)
+        # (M, 16) in ATTR_DIM order: [A(6) | b(2) | nrm(3) | col(3) | slot | one]
+        attrs = jnp.concatenate(
+            [a1, a2, b1[:, None], b2[:, None], nrm, rows[:, 20:23],
+             slot[:, None], rows[:, 24:25]],
+            axis=1,
+        )
+
+        t_min = jnp.min(t, axis=0)
+        ohf = ((t == t_min[None, :]) & hit).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            ohf, attrs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sel = sel / jnp.maximum(sel[:, _ONE:_ONE + 1], 1.0)
+
+        closer = t_min < t_best
+        return (
+            jnp.where(closer, t_min, t_best),
+            jnp.where(closer[:, None], sel, attr_best),
+        ), None
+
+    init = (
+        jnp.full(hw, jnp.inf, jnp.float32),
+        jnp.zeros((hw, ATTR_DIM), jnp.float32),
+    )
+    (t_best, attr_best), _ = jax.lax.scan(
+        body, init, jnp.arange(num_ents)
+    )
+    return t_best, attr_best
+
+
 def _entity_pass(bank, layout_id, state, origin, dirs,
                  shapes_present=(True, True, True)):
     """Analytic intersection for dynamic entities.
 
     Carries running (t, rgb_base, normal) buffers — entities are few,
     so attributes are computed inline instead of deferred.
-    ``shapes_present`` = static (spheres, boxes, hulls) flags from the
-    compiled bank; absent shapes skip their math entirely (the hull
-    slab test costs ~3x a box and most envs have no hull entities).
+    ``shapes_present`` = static (spheres, boxes, mesh-tris) flags from
+    the compiled bank; absent shapes skip their math entirely (mesh
+    triangles run in _entity_mesh_pass, not here).
     """
-    has_sphere, has_box, has_hull = shapes_present
+    has_sphere, has_box, _ = shapes_present
     hw = dirs.shape[0]
     num_ents = state.ent_pos.shape[0]
 
@@ -405,74 +579,12 @@ def _entity_pass(bank, layout_id, state, origin, dirs,
         axes_world = jnp.stack([ax_x, ax_y, ax_z])  # (3,3)
         n_box = sign[:, None] * (slab_oh @ axes_world)
 
-        # --- convex hull impostor (dynamic meshes: keys, medkits...) ---
-        # half-spaces n.p + off <= 0 in the entity's local frame; ray
-        # slab over planes: entry = max over denom<0 planes, exit = min
-        # over denom>0 (padding rows have n = 0 -> unconstrained)
-        if has_hull:
-            planes = bank.proto_hull[layout_id, state.ent_proto[e]]  # (MAXP,8)
-            pn = planes[:, 0:3]  # (MAXP,3)
-            poff = planes[:, 3]
-            valid_p = jnp.sum(pn * pn, axis=1) > 1e-9
-            num = pn @ o_l + poff  # (MAXP,)
-            den = jax.lax.dot_general(
-                d_l, pn,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (HW, MAXP)
-            safe_den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-            t_p = -num[None, :] / safe_den
-            is_entry = (den < -1e-9) & valid_p[None, :]
-            is_exit = (den > 1e-9) & valid_p[None, :]
-            # parallel ray outside a valid plane -> miss
-            par_out = jnp.any(
-                (jnp.abs(den) <= 1e-9)
-                & (num[None, :] > 0.0) & valid_p[None, :],
-                axis=1,
-            )
-            t_hin = jnp.max(jnp.where(is_entry, t_p, -jnp.inf), axis=1)
-            t_hout = jnp.min(jnp.where(is_exit, t_p, jnp.inf), axis=1)
-            hull_hit = (
-                (t_hin <= t_hout) & ~par_out & (t_hin > NEAR) & (t_hin < FAR)
-            )
-            # entry-plane normal via one-hot (local), rotated to world
-            ohp = (
-                (t_p == t_hin[:, None]) & is_entry
-            ).astype(jnp.float32)
-            ohp = ohp / jnp.maximum(jnp.sum(ohp, axis=1, keepdims=True), 1.0)
-            # one contraction selects entry normal (local) AND the
-            # plane's color (cols 4:7)
-            sel_h = jax.lax.dot_general(
-                ohp, planes[:, 0:7],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (HW,7)
-            n_l = sel_h[:, 0:3]
-            col_h = sel_h[:, 4:7]
-            # local->world: world = R @ local, columns (ax_x, ax_y, ax_z)
-            n_h = (
-                n_l[:, 0:1] * ax_x[None, :]
-                + n_l[:, 1:2] * ax_y[None, :]
-                + n_l[:, 2:3] * ax_z[None, :]
-            )
-        else:
-            t_hin = jnp.full(hw, jnp.inf, jnp.float32)
-            hull_hit = jnp.zeros(hw, bool)
-            n_h = jnp.zeros((hw, 3), jnp.float32)
-            col_h = jnp.zeros((hw, 3), jnp.float32)
-
         is_sphere = shape == SHAPE_SPHERE
-        is_hull = shape == SHAPE_HULL
         is_box = (shape == SHAPE_BOX) | (shape == SHAPE_MESH_BOX)
-        t_e = jnp.where(
-            is_sphere, t_sph, jnp.where(is_hull, t_hin, t_in)
-        )
-        hit_e = active & jnp.where(
-            is_sphere, sph_hit,
-            jnp.where(is_hull, hull_hit, box_hit & is_box),
-        )
-        n_e = jnp.where(is_sphere, n_sph, jnp.where(is_hull, n_h, n_box))
-        col_e = jnp.where(is_hull, col_h, color[None, :])
+        t_e = jnp.where(is_sphere, t_sph, t_in)
+        hit_e = active & jnp.where(is_sphere, sph_hit, box_hit & is_box)
+        n_e = jnp.where(is_sphere, n_sph, n_box)
+        col_e = color[None, :]
 
         closer = hit_e & (t_e < t_best)
         t_best = jnp.where(closer, t_e, t_best)
@@ -514,6 +626,8 @@ def render_rgbd(
     tri_chunk: int = 128,
     with_depth: bool = True,
     shapes_present=(True, True, True),
+    chunk_vis=None,
+    sched_len: int | None = None,
 ):
     """Render one env's observation. Returns (rgb u8 (H,W,3), depth (H,W,1)).
 
@@ -522,6 +636,10 @@ def render_rgbd(
     pack from MiniWorldVec: {"mode": "fourier"|"nearest", "coeffs" or
     "atlas", "k"}. Depth is eye-space Z in meters, FAR for sky —
     matching FrameBuffer.get_depth_map semantics (opengl.py:400-435).
+
+    ``chunk_vis`` ((L, n_chunks, R) bool) + ``sched_len`` enable PVS
+    chunk culling (the vector layer precomputes both; rendering stays
+    pixel-identical — only provably-invisible chunks are skipped).
     """
     layout_id = state.layout_id
     origin = geom.cam_position(
@@ -529,10 +647,24 @@ def render_rgbd(
     )
     dirs = camera_rays(state, width, height)  # (HW,3)
 
+    sched = None
+    if chunk_vis is not None:
+        sched = chunk_schedule(bank, chunk_vis, layout_id, origin, sched_len)
     t_tri, attr = _tri_pass(
         bank, layout_id, origin, dirs, tri_chunk,
         slot_override=state.tri_slots if tex["mode"] == "fourier" else None,
+        chunk_sched=sched,
     )
+    if shapes_present[2]:
+        # dynamic mesh triangles compete in the SAME (t, attr) stream
+        # as static geometry, so they get full texture evaluation
+        t_m, attr_m = _entity_mesh_pass(
+            bank, layout_id, state, origin, dirs,
+            fourier=tex["mode"] == "fourier",
+        )
+        mesh_wins = t_m < t_tri
+        t_tri = jnp.where(mesh_wins, t_m, t_tri)
+        attr = jnp.where(mesh_wins[:, None], attr_m, attr)
     t_ent, col_ent, n_ent = _entity_pass(
         bank, layout_id, state, origin, dirs, shapes_present
     )

@@ -47,6 +47,8 @@ class Layout:
     tri_tex_count: np.ndarray  # (S,) f32 number of texture variants of the tri's slot
     tri_color: np.ndarray  # (S,3) f32
     tri_mask: np.ndarray  # (S,) bool
+    tri_room: np.ndarray  # (S,) i32 owning room; -1 = always visible, -2 = pad
+    room_pvs: np.ndarray  # (R,R) bool potentially-visible rooms (scene/pvs.py)
     # collision
     segs: np.ndarray  # (W,2,2) f32 XZ endpoints
     seg_mask: np.ndarray  # (W,) bool
@@ -59,7 +61,8 @@ class Layout:
     room_area: np.ndarray  # (R,) f32
     # prototypes
     proto_shape: np.ndarray  # (P,) i32
-    proto_hull: np.ndarray  # (P,MAXP,8) f32 [n,d,color,pad] for SHAPE_HULL
+    proto_mesh: np.ndarray  # (P,M,25) f32 local mesh rows for SHAPE_MESH_TRIS
+    proto_mesh_mask: np.ndarray  # (P,M) bool
     proto_size: np.ndarray  # (P,3) f32
     proto_radius: np.ndarray  # (P,) f32
     proto_height: np.ndarray  # (P,) f32
@@ -100,6 +103,8 @@ class Layout:
             tri_tex_count=_pad(self.tri_tex_count, s["S"], fill=1.0),
             tri_color=_pad(self.tri_color, s["S"]),
             tri_mask=_pad(self.tri_mask, s["S"], fill=False),
+            tri_room=_pad(self.tri_room, s["S"], fill=-2),
+            room_pvs=_pad(_pad(self.room_pvs, s["R"], axis=1, fill=False), s["R"], fill=False),
             segs=_pad(self.segs, s["W"]),
             seg_mask=_pad(self.seg_mask, s["W"], fill=False),
             room_outline=_pad(_pad(self.room_outline, s["V"], axis=1), s["R"]),
@@ -109,7 +114,11 @@ class Layout:
             room_aabb=_pad(self.room_aabb, s["R"]),
             room_area=_pad(self.room_area, s["R"]),
             proto_shape=_pad(self.proto_shape, s["P"]),
-            proto_hull=_pad(self.proto_hull, s["P"]),
+            proto_mesh=_pad(_pad(self.proto_mesh, s["M"], axis=1), s["P"]),
+            proto_mesh_mask=_pad(
+                _pad(self.proto_mesh_mask, s["M"], axis=1, fill=False),
+                s["P"], fill=False,
+            ),
             proto_size=_pad(self.proto_size, s["P"]),
             proto_radius=_pad(self.proto_radius, s["P"]),
             proto_height=_pad(self.proto_height, s["P"]),
@@ -141,6 +150,7 @@ class Layout:
             R=self.room_outline.shape[0],
             V=self.room_outline.shape[1],
             P=self.proto_shape.shape[0],
+            M=self.proto_mesh.shape[1],
             E=self.slot_protos.shape[0],
             C=self.slot_protos.shape[1],
             T=self.tex_slot_base.shape[0],
@@ -158,7 +168,7 @@ jax.tree_util.register_pytree_node(
 
 def natural_sizes(layouts, align: int = 8) -> dict:
     """Max sizes across layouts, rounded up for stable shapes."""
-    keys = ["S", "W", "R", "V", "P", "E", "C", "T"]
+    keys = ["S", "W", "R", "V", "P", "M", "E", "C", "T"]
     out = {}
     for k in keys:
         m = max(lay.sizes[k] for lay in layouts)
@@ -176,13 +186,78 @@ def stack_layouts(layouts, align: int = 8):
     return Layout(**out)
 
 
-def compile_world(world: World) -> Layout:
-    """Compile a built World into a Layout (natural, unpadded sizes)."""
+def _static_tri_rooms(rooms, verts: np.ndarray) -> np.ndarray:
+    """Assign baked static-entity triangles to rooms for PVS culling.
+
+    A triangle belongs to a room when all three vertices are (within
+    tolerance) inside it; anything else — decorative meshes outside the
+    floorplan (wallgap.py's building), straddlers — gets -1 = rendered
+    from everywhere. Tolerance admits wall-mounted frames whose quads
+    lie exactly on a room boundary.
+    """
+    n = verts.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    xz = verts[:, :, [0, 2]]  # (n, 3, 2)
+    best_room = np.full(n, -1, dtype=np.int32)
+    best_score = np.full(n, -0.05)
+    for ri, room in enumerate(rooms):
+        pts = room.outline[:, [0, 2]]  # (V, 2)
+        nrm = room.edge_norms[:, [0, 2]]  # (V, 2) inward
+        # insideness of each vertex: min over edges of n . (p - p0)
+        d = np.einsum("vk,ntvk->ntv", nrm, xz[:, :, None, :] - pts[None, None])
+        score = d.min(axis=(1, 2))  # (n,) min over verts and edges
+        take = score > best_score
+        best_room[take] = ri
+        best_score[take] = score[take]
+    return best_room
+
+
+def _room_block_order(rooms) -> list:
+    """DFS order over the portal graph, for chunk-schedule locality.
+
+    Rooms that see each other lie along portal chains; laying their
+    triangle blocks out in portal-DFS order keeps a camera's visible
+    set in few, mostly-contiguous chunks (room indices themselves are
+    NOT renumbered — only triangle storage order changes, which is
+    invisible under z-buffering).
+    """
+    from miniworld_tpu.scene.pvs import portal_connections
+
+    adj = [[] for _ in rooms]
+    for ri, rj, _, _ in portal_connections(rooms):
+        adj[ri].append(rj)
+        adj[rj].append(ri)
+    seen, order = set(), []
+
+    def dfs(r):
+        seen.add(r)
+        order.append(r)
+        for n in adj[r]:
+            if n not in seen:
+                dfs(n)
+
+    for r in range(len(rooms)):
+        if r not in seen:
+            dfs(r)
+    return order
+
+
+def compile_world(world: World, with_pvs: bool = False) -> Layout:
+    """Compile a built World into a Layout (natural, unpadded sizes).
+
+    ``with_pvs=True`` additionally runs the portal-visibility analysis
+    (scene/pvs.py) used by the renderer's chunk culling; the eager
+    (gymnasium adapter) path skips it — a fresh world is compiled every
+    reset there and single-env CPU rendering doesn't cull.
+    """
     world.gen_static_data(rand=None if not world.eager else world._eager_static_rand)
 
-    # Room triangles + baked static entity triangles, in the reference's
-    # render order (rooms first, then static entities;
-    # miniworld.py:1135-1143).
+    # Room triangles + baked static entity triangles. The reference
+    # renders rooms first, then static entities (miniworld.py:1135-1143)
+    # — order is irrelevant under z-buffering, so triangles are stored
+    # grouped by room in portal-DFS order for the renderer's PVS chunk
+    # culling (always-visible triangles lead).
     tri = world._room_tris
     all_verts = tri.verts + world.static_tris.verts
     all_uvs = tri.uvs + world.static_tris.uvs
@@ -197,6 +272,36 @@ def compile_world(world: World) -> Layout:
     tri_tex = np.asarray(all_tex, dtype=np.int32)
     tri_color = np.asarray(all_colors, dtype=np.float32).reshape(S, 3)
     tri_mask = np.ones(S, dtype=bool)
+
+    # Per-triangle owning room, then the block permutation.
+    room_counts = world._room_tri_counts
+    tri_room = np.concatenate(
+        [
+            np.repeat(np.arange(len(room_counts), dtype=np.int32), room_counts),
+            _static_tri_rooms(
+                world.rooms,
+                np.asarray(
+                    world.static_tris.verts, dtype=np.float64
+                ).reshape(-1, 3, 3),
+            ),
+        ]
+    )
+    assert tri_room.shape[0] == S
+    order = _room_block_order(world.rooms)
+    rank = np.empty(len(world.rooms) + 1, dtype=np.int64)
+    rank[0] = 0  # always-visible block first (index shifted by +1)
+    for k, ri in enumerate(order):
+        rank[ri + 1] = k + 1
+    perm = np.argsort(rank[tri_room + 1], kind="stable")
+    tri_verts, tri_uv, tri_normal = tri_verts[perm], tri_uv[perm], tri_normal[perm]
+    tri_tex, tri_color, tri_room = tri_tex[perm], tri_color[perm], tri_room[perm]
+
+    if with_pvs:
+        from miniworld_tpu.scene.pvs import compute_room_pvs
+
+        room_pvs = compute_room_pvs(world.rooms)
+    else:
+        room_pvs = np.ones((len(world.rooms), len(world.rooms)), dtype=bool)
 
     # packed render attributes: [A(6) | b(2) | normal(3) | color(3) |
     # slot | one]. (A, b) is the triangle's affine texture map
@@ -258,11 +363,15 @@ def compile_world(world: World) -> Layout:
         room_area[i] = r.area
     room_mask = np.ones(R, dtype=bool)
 
-    from miniworld_tpu.scene.entities import MAX_HULL_PLANES
+    from miniworld_tpu.scene.entities import MESH_ROW_DIM
 
     P = max(len(world.protos), 1)
+    M = max([p.mesh_rows.shape[0] for p in world.protos
+             if p.mesh_rows is not None] + [1])
+    M = _round_up(M, 8)
     proto_shape = np.zeros(P, dtype=np.int32)
-    proto_hull = np.zeros((P, MAX_HULL_PLANES, 8), dtype=np.float32)
+    proto_mesh = np.zeros((P, M, MESH_ROW_DIM), dtype=np.float32)
+    proto_mesh_mask = np.zeros((P, M), dtype=bool)
     proto_size = np.zeros((P, 3), dtype=np.float32)
     proto_radius = np.zeros(P, dtype=np.float32)
     proto_height = np.zeros(P, dtype=np.float32)
@@ -272,8 +381,10 @@ def compile_world(world: World) -> Layout:
     proto_pickable = np.zeros(P, dtype=bool)
     for i, p in enumerate(world.protos):
         proto_shape[i] = p.shape
-        if p.hull_planes is not None:
-            proto_hull[i] = p.hull_planes
+        if p.mesh_rows is not None:
+            k = p.mesh_rows.shape[0]
+            proto_mesh[i, :k] = p.mesh_rows
+            proto_mesh_mask[i, :k] = True
         proto_size[i] = p.size
         proto_radius[i] = p.radius
         proto_height[i] = p.height
@@ -342,11 +453,13 @@ def compile_world(world: World) -> Layout:
         tri_tex=tri_tex, tri_tex_base=tri_tex_base,
         tri_tex_count=tri_tex_count,
         tri_color=tri_color, tri_mask=tri_mask,
+        tri_room=tri_room, room_pvs=room_pvs,
         segs=segs, seg_mask=seg_mask,
         room_outline=room_outline, room_norms=room_norms,
         room_vmask=room_vmask, room_mask=room_mask,
         room_aabb=room_aabb, room_area=room_area,
-        proto_shape=proto_shape, proto_hull=proto_hull,
+        proto_shape=proto_shape, proto_mesh=proto_mesh,
+        proto_mesh_mask=proto_mesh_mask,
         proto_size=proto_size,
         proto_radius=proto_radius, proto_height=proto_height,
         proto_color=proto_color, proto_colorable=proto_colorable,

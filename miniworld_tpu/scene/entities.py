@@ -11,12 +11,13 @@ to either:
   * a *prototype* row in a fixed-shape table for dynamic entities the
     raycaster draws analytically each frame.
 
-Dynamic-entity shapes (round 1): BOX (exact), SPHERE (Ball — the
-reference's ball mesh is a tessellated sphere), and MESH_BOX — an
-oriented-bounding-box impostor for dynamic meshes (Key, medkit, duckie)
-with the mesh's dominant color. Real dynamic-mesh triangles are a
-planned upgrade; physics radii/heights match the reference exactly
-either way.
+Dynamic-entity shapes: BOX (exact analytic OBB), SPHERE (Ball — the
+reference's ball mesh is a tessellated sphere), and MESH_TRIS — the
+mesh's ACTUAL triangles, decimated to a budget and packed as
+local-space render rows the raycaster intersects per frame
+(render/raycast._entity_mesh_pass), textures included. Physics
+radii/heights match the reference exactly for every shape
+(miniworld/entity.py:124-165, objmesh.py:280-292).
 """
 
 from __future__ import annotations
@@ -47,10 +48,17 @@ SHAPE_NONE = 0
 SHAPE_BOX = 1
 SHAPE_SPHERE = 2
 SHAPE_MESH_BOX = 3
-SHAPE_HULL = 4
+SHAPE_MESH_TRIS = 4
 
-# max half-space planes per dynamic-mesh hull impostor
-MAX_HULL_PLANES = 16
+# Triangle budget per dynamic-mesh prototype (scene/mesh.decimate_mesh).
+# 48 keeps a key/duckie silhouette recognizable while the per-(pixel,
+# triangle) render cost stays within the entity-pass budget.
+MESH_TRI_BUDGET = 48
+# Packed mesh-row layout: [verts(9) | attr(16)] where attr matches
+# render/raycast.ATTR_DIM ([A(6) | b(2) | normal(3) | color(3) | slot | one])
+# in the proto's LOCAL frame; the renderer composes the entity's world
+# transform into the attrs per frame.
+MESH_ROW_DIM = 25
 
 
 def rot_y(angle: float) -> np.ndarray:
@@ -71,9 +79,9 @@ class Proto:
     colorable: bool = False  # Box: obj_color_bias applies (entity.py:405-407)
     static: bool = False
     pickable: bool = True  # not is_static
-    # (MAX_HULL_PLANES, 8) half-spaces [n(3), d, color(3), pad] with
-    # n.x + d <= 0 inside, zero-padded; only meaningful for SHAPE_HULL
-    hull_planes: np.ndarray | None = None
+    # (K, MESH_ROW_DIM) packed local-space triangle rows; only
+    # meaningful for SHAPE_MESH_TRIS
+    mesh_rows: np.ndarray | None = None
 
     def __post_init__(self):
         self.size = np.asarray(self.size, dtype=np.float64)
@@ -149,24 +157,85 @@ def ball_proto(color: str, size=0.6) -> Proto:
     )
 
 
-def key_proto(color: str) -> Proto:
+def key_proto(color: str, slot_fn=None) -> Proto:
     """Key = key_{color} mesh at height 0.35 (entity.py:435-442)."""
-    return mesh_box_proto(f"key_{color}", 0.35, static=False)
+    return mesh_box_proto(f"key_{color}", 0.35, static=False, slot_fn=slot_fn)
 
 
-def mesh_box_proto(mesh_name: str, height: float, static: bool = True) -> Proto:
-    """Mesh entity impostor with the mesh's color.
+def affine_uv_maps(verts: np.ndarray, uvs: np.ndarray):
+    """Per-triangle affine texture maps uv = A @ p + b.
+
+    For points p on the triangle's plane the map reproduces the
+    barycentric-interpolated UVs, letting the renderer derive texture
+    coordinates from the hit point with two dot products instead of
+    per-pixel barycentric selects (see scene/compile.py packing).
+    verts (T,3,3), uvs (T,3,2) -> (A (T,2,3), b (T,2)), float64.
+    """
+    v0 = verts[:, 0].astype(np.float64)
+    e1 = verts[:, 1].astype(np.float64) - v0
+    e2 = verts[:, 2].astype(np.float64) - v0
+    uv0 = uvs[:, 0, :].astype(np.float64)
+    duv1 = uvs[:, 1, :].astype(np.float64) - uv0
+    duv2 = uvs[:, 2, :].astype(np.float64) - uv0
+    l11 = np.sum(e1 * e1, axis=1)
+    l22 = np.sum(e2 * e2, axis=1)
+    l12 = np.sum(e1 * e2, axis=1)
+    den = np.maximum(l11 * l22 - l12 * l12, 1e-18)
+    gu = (l22[:, None] * e1 - l12[:, None] * e2) / den[:, None]
+    gv = (l11[:, None] * e2 - l12[:, None] * e1) / den[:, None]
+    a_map = duv1[:, :, None] * gu[:, None, :] + duv2[:, :, None] * gv[:, None, :]
+    b_map = uv0 - np.einsum("tij,tj->ti", a_map, v0)
+    return a_map, b_map
+
+
+def _mesh_tri_rows(mesh, scale: float, slot_fn=None,
+                   budget: int = MESH_TRI_BUDGET) -> np.ndarray:
+    """Pack a (decimated, scaled) mesh into local-space render rows.
+
+    Row = [verts(9) | A(6) | b(2) | normal(3) | color(3) | slot | one]
+    — the attr half is raycast.ATTR_DIM in the proto's LOCAL frame
+    (recentered, scaled; entity yaw/translation/size_mul are composed
+    in at render time). ``slot_fn`` maps a texture path to a
+    layout-local texture slot; without it textured faces fall back to
+    their Kd color untextured.
+    """
+    from miniworld_tpu.scene.mesh import decimate_mesh
+
+    dm = decimate_mesh(mesh, budget)
+    verts = dm.verts * scale
+    k = verts.shape[0]
+    a_map, b_map = affine_uv_maps(verts, dm.uvs)
+    n = np.cross(verts[:, 1] - verts[:, 0], verts[:, 2] - verts[:, 0])
+    nl = np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    n = n / nl
+    rows = np.zeros((k, MESH_ROW_DIM), dtype=np.float32)
+    rows[:, 0:9] = verts.reshape(k, 9)
+    rows[:, 9:15] = a_map.reshape(k, 6)
+    rows[:, 15:17] = b_map
+    rows[:, 17:20] = n
+    rows[:, 20:23] = dm.colors
+    for t in range(k):
+        tex = dm.tex_names[t]
+        rows[t, 23] = slot_fn(tex) if (tex is not None and slot_fn) else -1
+    rows[:, 24] = 1.0
+    return rows
+
+
+def mesh_box_proto(mesh_name: str, height: float, static: bool = True,
+                   slot_fn=None) -> Proto:
+    """Mesh entity prototype.
 
     Static meshes keep the OBB (their visuals are baked triangles; the
-    proto only matters for collision). Dynamic meshes render as a
-    convex-hull impostor — the hull of the scaled mesh reduced to at
-    most MAX_HULL_PLANES half-spaces — which preserves silhouettes
-    (keys look like keys, not crates) at ~3x a box's intersection cost.
+    proto only matters for collision). Dynamic meshes carry their
+    actual decimated triangles (``mesh_rows``) which the raycaster
+    intersects per frame — real silhouettes AND textures, replacing
+    round 1's convex-hull impostors (reference objmesh.py:280-292,
+    entity.py:124-165).
     """
     mesh, scale, radius = mesh_scale_radius(mesh_name, height)
     dims = (mesh.bbox_hi - mesh.bbox_lo) * scale
     proto = Proto(
-        shape=SHAPE_MESH_BOX if static else SHAPE_HULL,
+        shape=SHAPE_MESH_BOX if static else SHAPE_MESH_TRIS,
         size=dims,
         radius=radius,
         height=float(height),
@@ -175,67 +244,8 @@ def mesh_box_proto(mesh_name: str, height: float, static: bool = True) -> Proto:
         pickable=not static,
     )
     if not static:
-        proto.hull_planes = _hull_planes(mesh, scale)
+        proto.mesh_rows = _mesh_tri_rows(mesh, scale, slot_fn)
     return proto
-
-
-def _hull_planes(mesh, scale: float, max_planes: int = MAX_HULL_PLANES):
-    """Reduce a mesh to <= max_planes outer half-spaces with colors.
-
-    Convex hull facets are merged by normal direction (quantized to a
-    coarse angular grid, keeping each direction's outermost offset) and
-    ranked by facet area until the budget is met. Each plane carries
-    the area-weighted color of the MESH faces whose normals best align
-    with it (duckie beaks stay orange, medkits pick up their cross
-    tint). Padding rows are all-zero (n = 0 never constrains the slab
-    test).
-    """
-    from scipy.spatial import ConvexHull
-
-    points = mesh.verts.reshape(-1, 3) * scale
-    hull = ConvexHull(points)
-    eqs = hull.equations  # (F, 4): n.x + d <= 0 inside
-    areas = np.zeros(len(eqs))
-    for i, simplex in enumerate(hull.simplices):
-        a, b, c = points[simplex]
-        areas[i] = 0.5 * np.linalg.norm(np.cross(b - a, c - a))
-    merged: dict = {}
-    for eq, area in zip(eqs, areas):
-        key = tuple(np.round(eq[:3] * 4).astype(int))
-        if key in merged:
-            n_old, d_old, a_old = merged[key]
-            # keep the enclosing (outermost) offset
-            if eq[3] > d_old:
-                merged[key] = (eq[:3], eq[3], a_old + area)
-            else:
-                merged[key] = (n_old, d_old, a_old + area)
-        else:
-            merged[key] = (eq[:3], eq[3], area)
-    ranked = sorted(merged.values(), key=lambda t: -t[2])[:max_planes]
-
-    # per-plane colors: assign each mesh face to its best-aligned plane
-    f_colors, f_areas = _face_colors_areas(mesh)
-    v = mesh.verts
-    f_n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
-    f_len = np.maximum(np.linalg.norm(f_n, axis=1, keepdims=True), 1e-12)
-    f_n = f_n / f_len
-    plane_ns = np.array([n for n, _, _ in ranked])  # (Q,3)
-    fallback = _mesh_color(mesh)
-    aligns = f_n @ plane_ns.T  # (F, Q)
-    best = np.argmax(aligns, axis=1)
-    out = np.zeros((max_planes, 8), dtype=np.float32)
-    for i, (n, d, _) in enumerate(ranked):
-        out[i, :3] = n
-        out[i, 3] = d
-        sel = (best == i) & (aligns[np.arange(len(best)), best] > 0.5)
-        if sel.any():
-            w = f_areas[sel]
-            out[i, 4:7] = (f_colors[sel] * w[:, None]).sum(0) / max(
-                w.sum(), 1e-9
-            )
-        else:
-            out[i, 4:7] = fallback
-    return out
 
 
 def bake_static_mesh(

@@ -49,6 +49,84 @@ class TriMesh:
         return self.verts.shape[0]
 
 
+def decimate_mesh(mesh: TriMesh, budget: int) -> TriMesh:
+    """Reduce a mesh to <= ``budget`` triangles by vertex clustering.
+
+    Dynamic entities render their actual triangles on-device
+    (render/raycast._entity_mesh_pass); the per-(pixel, triangle) cost
+    makes full-resolution assets (duckie: 1194 tris) unaffordable, so
+    protos bake a decimated copy. Vertices are clustered on a uniform
+    grid (binary search on resolution for the largest grid meeting the
+    budget), cluster representatives are the mean member position, and
+    each surviving triangle keeps the color/UV/texture of its
+    largest-area source triangle. Simple, watertight, and good enough
+    at 32-64 triangles for MiniWorld's props.
+    """
+    if mesh.num_tris <= budget:
+        return mesh
+    flat = mesh.verts.reshape(-1, 3)
+    lo = flat.min(axis=0)
+    span = np.maximum(flat.max(axis=0) - lo, 1e-9)
+
+    e1 = mesh.verts[:, 1] - mesh.verts[:, 0]
+    e2 = mesh.verts[:, 2] - mesh.verts[:, 0]
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+
+    def build(res: int):
+        cell = np.minimum(((flat - lo) / span) * res, res - 1e-6).astype(np.int64)
+        cid = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+        uniq, inv = np.unique(cid, return_inverse=True)
+        reps = np.zeros((len(uniq), 3))
+        np.add.at(reps, inv, flat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+        reps /= counts[:, None]
+        tri_cids = inv.reshape(-1, 3)  # (T, 3) cluster per corner
+        # drop degenerate (collapsed) triangles; dedup same triples by
+        # largest source area
+        keep = {}
+        for t in range(tri_cids.shape[0]):
+            a, b, c = tri_cids[t]
+            if a == b or b == c or a == c:
+                continue
+            key = tuple(sorted((a, b, c)))
+            if key not in keep or areas[t] > areas[keep[key]]:
+                keep[key] = t
+        return reps, tri_cids, sorted(keep.values())
+
+    # largest grid resolution whose output fits the budget
+    lo_r, hi_r = 1, 96
+    best = None
+    while lo_r <= hi_r:
+        mid = (lo_r + hi_r) // 2
+        reps, tri_cids, kept = build(mid)
+        if len(kept) <= budget:
+            best = (reps, tri_cids, kept)
+            lo_r = mid + 1
+        else:
+            hi_r = mid - 1
+    reps, tri_cids, kept = best
+    kept = np.asarray(kept, dtype=np.int64)
+
+    out_verts = reps[tri_cids[kept]]  # (K, 3, 3)
+    e1 = out_verts[:, 1] - out_verts[:, 0]
+    e2 = out_verts[:, 2] - out_verts[:, 0]
+    n = np.cross(e1, e2)
+    nl = np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    out_norms = np.repeat((n / nl)[:, None, :], 3, axis=1)
+
+    return TriMesh(
+        name=f"{mesh.name}@{budget}",
+        verts=out_verts,
+        normals=out_norms,
+        uvs=mesh.uvs[kept],
+        colors=mesh.colors[kept],
+        tex_names=[mesh.tex_names[t] for t in kept],
+        bbox_lo=mesh.bbox_lo,
+        bbox_hi=mesh.bbox_hi,
+        ref_max_coords=mesh.ref_max_coords,
+    )
+
+
 def _parse_mtl(path: str):
     """Parse an MTL file into {material_name: (Kd rgb, map_Kd path|None)}."""
     materials = {}

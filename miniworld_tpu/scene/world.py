@@ -223,6 +223,7 @@ class World:
 
         tris = TriBatch()
         segs = []
+        self._room_tri_counts = []  # per-room triangle count, in room order
         for ri, room in enumerate(self.rooms):
             # Slot registration (and eager variant sampling) in the
             # reference's Texture.get order: wall, floor, ceil — three
@@ -256,6 +257,7 @@ class World:
                 return _m[2]
 
             room_tris, room_segs = room.gen_static(tex_slot_fn, uv_mul)
+            self._room_tri_counts.append(len(room_tris))
             tris.extend(room_tris)
             if len(room_segs):
                 segs.append(room_segs)
@@ -281,9 +283,9 @@ class World:
         elif kind == "ball":
             proto = ent_lib.ball_proto(*args)
         elif kind == "key":
-            proto = ent_lib.key_proto(*args)
+            proto = ent_lib.key_proto(*args, slot_fn=self.tex_slot_path)
         elif kind == "mesh":
-            proto = ent_lib.mesh_box_proto(*args)
+            proto = ent_lib.mesh_box_proto(*args, slot_fn=self.tex_slot_path)
         else:
             raise ValueError(kind)
         pid = len(self.protos)
@@ -435,16 +437,32 @@ class World:
 
     # -- static entity baking -------------------------------------------
 
-    def bake_mesh(self, mesh_name: str, height: float, pos, direction):
-        """Static MeshEnt: bake triangles AND add a collision slot."""
+    def bake_mesh(self, mesh_name: str, height: float, pos, direction=None):
+        """Static MeshEnt: bake triangles AND add a collision slot.
+
+        ``direction=None`` mirrors the reference's
+        ``place_entity(ent, pos=...)`` with no ``dir``: one np_random
+        uniform is consumed for the orientation (miniworld.py:946-952)
+        — essential for eager-mode rng parity (Sidewalk's cones). The
+        slot is placed FIRST so the draw lands at the reference's
+        sequence position; baking then uses the resolved direction.
+        In record mode (layout banks) an unspecified direction bakes at
+        0 — per-episode rotation of a static mesh cannot be baked, and
+        the only users (cones) are rotationally symmetric.
+        """
         pid = self.proto_id("mesh", mesh_name, height, True)
-        ent_lib.bake_static_mesh(
-            self.static_tris, mesh_name, height, pos, direction,
-            lambda path: self.tex_slot_path(path),
-        )
         # Static entities still occupy space (they live in the entity
         # list and block movement/placement; miniworld.py:1034-1044).
-        return self.place(pid, pos=np.asarray(pos, dtype=np.float64), dir=direction)
+        idx = self.place(pid, pos=np.asarray(pos, dtype=np.float64), dir=direction)
+        if self.eager:
+            bake_dir = self.slots[idx].dir
+        else:
+            bake_dir = 0.0 if direction is None else float(direction)
+        ent_lib.bake_static_mesh(
+            self.static_tris, mesh_name, height, pos, bake_dir,
+            lambda path: self.tex_slot_path(path),
+        )
+        return idx
 
     def bake_image_frame(self, pos, direction, tex_name, width, depth=0.05):
         slot = self.tex_slot(tex_name, tag=("frame", len(self.slots)))

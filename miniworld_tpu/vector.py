@@ -41,6 +41,7 @@ from miniworld_tpu.state import EnvState, StepResult, tree_select
 _TRI_FIELDS = (
     "tri_verts", "tri_attr", "tri_uv", "tri_normal", "tri_tex",
     "tri_tex_base", "tri_tex_count", "tri_color", "tri_mask",
+    "tri_room", "room_pvs",
 )
 
 
@@ -68,7 +69,7 @@ def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
         world.agent_radius = spec.agent_radius
         spec.build(world, None, layout_rng=np.random.default_rng(seeds[li]),
                    layout_idx=li)
-        layouts.append(compile_world(world))
+        layouts.append(compile_world(world, with_pvs=True))
     bank_np = stack_layouts(layouts)
     if tex_mode == "fourier":
         tex_np = catalog.build_fourier(fourier_k)
@@ -79,6 +80,72 @@ def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
 
 def _to_device(bank_np: Layout) -> Layout:
     return jax.tree.map(jnp.asarray, bank_np)
+
+
+# Fixed cost of one chunk-scan iteration expressed in triangle
+# equivalents (carry read/write + attr matmul + slice setup), used to
+# pick the culling chunk size. Calibrated on v5e (PERF.md).
+_CHUNK_OVERHEAD_TRIS = 32
+
+
+def _chunk_visibility(bank_np: Layout, chunk: int) -> np.ndarray:
+    """(L, n_chunks, R) bool: chunk c needed when rendering from room r.
+
+    Mirrors the scan's chunk mapping exactly (last chunk clamps to
+    [S - chunk, S)). A chunk is needed from room r if it contains an
+    always-visible triangle or any triangle of a room in PVS(r).
+    """
+    tri_room, tri_mask = bank_np.tri_room, bank_np.tri_mask
+    pvs = bank_np.room_pvs
+    num_layouts, S = tri_room.shape
+    n_chunks = -(-S // chunk)
+    R = pvs.shape[1]
+    vis = np.zeros((num_layouts, n_chunks, R), dtype=bool)
+    for li in range(num_layouts):
+        for c in range(n_chunks):
+            start = min(c * chunk, S - chunk)
+            rooms = tri_room[li, start:start + chunk]
+            rooms = rooms[tri_mask[li, start:start + chunk]]
+            if (rooms == -1).any():
+                vis[li, c, :] = True
+                continue
+            rset = np.unique(rooms[rooms >= 0])
+            if len(rset):
+                vis[li, c, :] = pvs[li][:, rset].any(axis=1)
+    return vis
+
+
+def plan_culling(bank_np: Layout, chunk_cap: int):
+    """Choose (chunk_vis, tri_chunk, sched_len) for PVS chunk culling.
+
+    Tries chunk sizes and picks the one minimizing the modeled scan
+    cost ``worst_case_active_chunks * (chunk + overhead)``; returns
+    (None, chunk_cap, None) when full scans are at least as cheap
+    (single-room scenes, open-air scenes, tiny banks).
+    """
+    pvs, room_mask = bank_np.room_pvs, bank_np.room_mask
+    if all(pvs[li][np.ix_(m, m)].all()
+           for li, m in enumerate(room_mask)):
+        return None, chunk_cap, None
+
+    S = bank_np.tri_room.shape[1]
+    candidates = [k for k in (16, 32, 48, 64, 96, 128, 160, 192, 224, 256)
+                  if k <= min(chunk_cap, S)] or [min(chunk_cap, S)]
+    best = (None, chunk_cap, None)
+    best_cost = (-(-S // chunk_cap)) * (chunk_cap + _CHUNK_OVERHEAD_TRIS)
+    for k in candidates:
+        vis = _chunk_visibility(bank_np, k)
+        # worst case over (layout, valid room) of active chunk count
+        bound = 1
+        for li in range(vis.shape[0]):
+            counts = vis[li].sum(axis=0)[room_mask[li]]
+            if counts.size:
+                bound = max(bound, int(counts.max()))
+        cost = bound * (k + _CHUNK_OVERHEAD_TRIS)
+        if cost < best_cost:
+            best_cost = cost
+            best = (vis, k, bound)
+    return best
 
 
 def lay_view(bank: Layout, layout_id) -> Layout:
@@ -133,6 +200,8 @@ class MiniWorldVec:
         hw = self.obs_width * self.obs_height
         auto = int(2.5e9 / 4 / max(num_envs * hw, 1))
         self.tri_chunk = max(16, min(tri_chunk, (auto // 16) * 16 or 16))
+        self._chunk_vis = None  # set after the bank is compiled
+        self._sched_len = None
 
         assert tex_mode in ("fourier", "nearest"), tex_mode
         self.tex_mode = tex_mode
@@ -150,6 +219,15 @@ class MiniWorldVec:
         bank_np, tex_np = build_bank(spec, bank_seed, tex_mode, fourier_k)
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
+        # PVS chunk culling (scene/pvs.py): per-env scans visit only the
+        # chunks visible from the camera's room, with a static worst-case
+        # schedule length. Exact — culled renders are pixel-identical.
+        if render_backend != "pallas":
+            chunk_vis, self.tri_chunk, self._sched_len = plan_culling(
+                bank_np, self.tri_chunk
+            )
+            if chunk_vis is not None:
+                self._chunk_vis = jnp.asarray(chunk_vis)
         # "atlas" carries whichever texture table the mode needs:
         # fourier -> (N, 3+8K) coefficients; nearest -> (N,R,R,3) u8.
         self._atlas = jnp.asarray(tex_np)
@@ -159,13 +237,13 @@ class MiniWorldVec:
         # static shape-presence flags let the renderer skip whole
         # entity-intersection branches for env classes without them
         from miniworld_tpu.scene.entities import (
-            SHAPE_BOX, SHAPE_HULL, SHAPE_MESH_BOX, SHAPE_SPHERE,
+            SHAPE_BOX, SHAPE_MESH_BOX, SHAPE_MESH_TRIS, SHAPE_SPHERE,
         )
         shp = bank_np.proto_shape
         self._shapes_present = (
             bool((shp == SHAPE_SPHERE).any()),
             bool(((shp == SHAPE_BOX) | (shp == SHAPE_MESH_BOX)).any()),
-            bool((shp == SHAPE_HULL).any()),
+            bool((shp == SHAPE_MESH_TRIS).any()),
         )
 
         if spec.discrete_actions is not None:
@@ -420,6 +498,8 @@ class MiniWorldVec:
             width=self.obs_width, height=self.obs_height,
             tri_chunk=self.tri_chunk, with_depth=self.with_depth,
             shapes_present=self._shapes_present,
+            chunk_vis=self._chunk_vis,
+            sched_len=self._sched_len if self._chunk_vis is not None else None,
         )
         return self._wrap_obs_one(rgb, depth, state)
 
@@ -510,6 +590,26 @@ class MiniWorldVec:
         obs_out = (obs, depth) if self.with_depth else obs
         return state, obs_out, reward, done, info
 
+    def set_discrete_actions(self, discrete_actions):
+        """Install (or remove, with None) a runtime discrete-action
+        table, like the reference's MiniWorldEnv.set_discrete_actions
+        (miniworld/miniworld.py:654-664). Each row is a 6-D action
+        vector; scalar actions index into it. Cached jitted programs
+        stay valid — the table is resolved at trace time per call.
+        """
+        if discrete_actions is None:
+            self._action_table = None
+        else:
+            table = jnp.asarray(discrete_actions, jnp.float32)
+            assert table.ndim == 2 and table.shape[1] == 6, table.shape
+            self._action_table = table
+        # step/rollout programs close over the table via self; drop
+        # compiled caches so the new table is traced in
+        self._step_jit = jax.jit(
+            jax.vmap(self._step_one, in_axes=(None, 0, 0))
+        )
+        self._rollout_cache = {}
+
     def sample_actions(self, key: jax.Array, num: int | None = None):
         """Random actions with the right dtype/shape for this env."""
         spec = self.spec
@@ -543,9 +643,14 @@ class MiniWorldVec:
           horizon: steps per call.
           policy: optional ``(obs, depth, key) -> actions`` (batched);
             defaults to uniform-random actions in the env's space.
-          return_obs: stack per-step observations into the output
-            (O(T*B*H*W) memory!); otherwise obs are consumed on device
+          return_obs: stack the observations the policy ACTED ON into
+            the output (``outs["obs"][t]`` is the obs that produced
+            ``actions[t]`` — the (s, a) alignment a learner needs;
+            O(T*B*H*W) memory!). Otherwise obs are consumed on device
             and only per-step summaries are returned.
+          return_actions: stack per-env per-step ``actions``,
+            ``rewards`` and ``done_mask`` into the output (the rest of
+            a learner's transition tuple).
 
         Returns:
           ``fn(bank, atlas, state, obs0, key) -> (state, metrics)``;
@@ -563,6 +668,7 @@ class MiniWorldVec:
                 state, obs, depth = carry
                 k_act, _ = jax.random.split(key)
                 actions = policy(obs, depth, k_act)
+                acted_obs, acted_depth = obs, depth
                 state, reward, done, info = jax.vmap(
                     self._step_one, in_axes=(None, 0, 0)
                 )(bank, state, actions)
@@ -580,12 +686,13 @@ class MiniWorldVec:
                     ),
                 }
                 if return_obs:
-                    out["obs"] = obs
+                    out["obs"] = acted_obs
                     if self.with_depth:
-                        out["depth"] = depth
+                        out["depth"] = acted_depth
                 if return_actions:
                     out["actions"] = actions
                     out["rewards"] = reward
+                    out["done_mask"] = done
                 return (state, obs, depth), out
 
             keys = jax.random.split(key, horizon)

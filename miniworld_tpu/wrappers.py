@@ -57,21 +57,25 @@ class GreyscaleWrapper(gym.ObservationWrapper):
 
 
 class StochasticActionWrapper(gym.ActionWrapper):
-    """epsilon-random action substitution (wrappers.py:49-69)."""
+    """epsilon-random action substitution (wrappers.py:48-69).
 
-    def __init__(self, env=None, prob=0.9, random_steps=0):
+    With probability ``prob`` the agent's action passes through;
+    otherwise ``random_action`` is executed when given, else a sample
+    from the action space. Draws come from the env's seeded
+    ``np_random`` so trajectories reproduce under a fixed seed.
+    """
+
+    def __init__(self, env, prob: float = 0.9, random_action=None):
         super().__init__(env)
         self.prob = prob
-        self.random_steps = random_steps
-        self.step_count = 0
+        self.random_action = random_action
 
     def action(self, action):
-        if self.step_count < self.random_steps:
-            self.step_count += 1
-            return self.env.action_space.sample()
-        if np.random.uniform() < self.prob:
+        if self.np_random.uniform() < self.prob:
             return action
-        return self.env.action_space.sample()
+        if self.random_action is None:
+            return self.action_space.sample()
+        return self.random_action
 
 
 # -- vectorized (device-side) counterparts -------------------------------

@@ -16,6 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # never claim the TPU chip
+
 import numpy as np
 
 from miniworld_tpu.gym_env import MiniWorldGym

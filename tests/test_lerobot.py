@@ -115,3 +115,54 @@ def test_episode_writer_context(tmp_path):
             w.add_sample(np.zeros((8, 8, 3), np.uint8), [0.0], reward=1.0)
         assert w.num_frames == 3
     assert dm.num_episodes == 1
+
+
+def test_episode_paths_resolve(tmp_path):
+    """Every episodes-table row's template path must point at a real
+    file (the round-1 writer put the file index in the chunk_index
+    column while writing everything into chunk-000 — a LeRobot reader
+    would have resolved data/chunk-005/... and found nothing)."""
+    import pyarrow.parquet as pq
+
+    from miniworld_tpu.io.lerobot import DATA_TEMPLATE, VIDEO_KEY, VIDEO_TEMPLATE
+
+    mgr = DatasetManager(tmp_path / "ds", fps=10)
+    for _ in range(4):
+        mgr.add_episode(_fake_episode())
+    mgr.finalize()
+
+    table = pq.read_table(
+        tmp_path / "ds/meta/episodes/chunk-000/episodes-000.parquet"
+    ).to_pylist()
+    assert len(table) == 4
+    for row in table:
+        data_path = tmp_path / "ds" / DATA_TEMPLATE.format(
+            chunk_index=row["data/chunk_index"],
+            file_index=row["data/file_index"],
+        )
+        assert data_path.exists(), data_path
+        video_path = tmp_path / "ds" / VIDEO_TEMPLATE.format(
+            video_key=VIDEO_KEY,
+            chunk_index=row[f"videos/{VIDEO_KEY}/chunk_index"],
+            file_index=row[f"videos/{VIDEO_KEY}/file_index"],
+        )
+        # mp4 may fall back to .npz without an ffmpeg backend
+        assert video_path.exists() or video_path.with_suffix(".npz").exists()
+
+
+def test_append_resume_chunked_layout(tmp_path):
+    """Append mode continues chunk/file indices under the per-file
+    chunk-dir layout (reference lerobot_writer.py:534-560)."""
+    root = tmp_path / "ds"
+    mgr = DatasetManager(root, fps=10)
+    mgr.add_episode(_fake_episode())
+    mgr.add_episode(_fake_episode())
+    mgr.finalize()
+
+    mgr2 = DatasetManager(root, fps=10, append=True)
+    mgr2.add_episode(_fake_episode())
+    mgr2.finalize()
+
+    assert (root / "data/chunk-002/file-002.parquet").exists()
+    info = json.loads((root / "meta/info.json").read_text())
+    assert info["total_episodes"] == 3
