@@ -41,6 +41,10 @@ def main():
                    help="orbax path to save params+env state each 50 iters")
     p.add_argument("--metrics", default=None,
                    help="path for per-iteration JSONL metrics")
+    p.add_argument("--log-every", type=int, default=50,
+                   help="iterations between metric fetches (each fetch "
+                        "syncs the device pipeline; keep sparse on "
+                        "high-latency tunnels)")
     args = p.parse_args()
     obs_w, obs_h = map(int, args.obs.split("x"))
 
@@ -53,7 +57,7 @@ def main():
     mesh = make_mesh()
     n_dev = mesh.devices.size
     num_envs = (args.num_envs // n_dev) * n_dev
-    print(f"devices: {n_dev}, envs: {num_envs}")
+    print(f"devices: {n_dev} x {mesh.devices.flat[0].platform}, envs: {num_envs}")
 
     env = MiniWorldVec(args.env, num_envs=num_envs, obs_width=obs_w,
                        obs_height=obs_h)
@@ -69,35 +73,55 @@ def main():
     t0 = time.perf_counter()
     steps_done = 0
     last_t, last_steps = t0, 0
+    pending = []  # (iter, metrics pytree) — fetched in batches: a
+    # per-iteration float() sync drains the async dispatch pipeline
+    # (one tunnel round-trip per iter, ~40x slower end-to-end)
+
+    def drain(now):
+        nonlocal last_t, last_steps
+        if not pending:
+            return
+        span = max(now - last_t, 1e-9)
+        span_steps = steps_done - last_steps
+        # ONE host transfer for the whole window (each individual
+        # float() is a separate device round-trip)
+        pending[:] = [
+            (it_, m) for (it_, _), m in zip(
+                pending, jax.device_get([m for _, m in pending])
+            )
+        ]
+        for it_, m in pending:
+            row = {
+                "iter": it_,
+                "loss": float(m["loss"]),
+                "reward": float(m["reward"]),
+                "reward_per_step": float(m["reward"]) / (args.horizon * num_envs),
+                "return_mean": float(m["return_mean"]),
+                "episodes": int(m["dones"]),
+                "env_steps": (it_ + 1) * args.horizon * num_envs,
+                "env_steps_per_s": span_steps / span,
+                "env_steps_per_s_per_chip": span_steps / span / n_dev,
+                "resets_per_s": int(m["dones"]) * len(pending) / span,
+            }
+            if metrics_f:
+                metrics_f.write(json.dumps(row) + "\n")
+        if metrics_f:
+            metrics_f.flush()
+        it_, m = pending[-1]
+        sps = steps_done / (now - t0)
+        print(f"iter {it_:4d}  loss {float(m['loss']):8.4f}  "
+              f"reward/iter {float(m['reward']):8.1f}  "
+              f"episodes {int(m['dones']):5d}  {sps:,.0f} env-steps/s")
+        pending.clear()
+        last_t, last_steps = now, steps_done
+
     for it in range(args.iters):
         key, k = jax.random.split(key)
         tstate, state, obs, depth, metrics = step(tstate, state, obs, depth, k)
         steps_done += args.horizon * num_envs
-        loss = float(metrics["loss"])
-        rew = float(metrics["reward"])
-        dones = int(metrics["dones"])
-        now = time.perf_counter()
-        row = {
-            "iter": it,
-            "loss": loss,
-            "reward": rew,
-            "reward_per_step": rew / (args.horizon * num_envs),
-            "return_mean": float(metrics["return_mean"]),
-            "episodes": dones,
-            "resets_per_s": dones / max(now - last_t, 1e-9),
-            "env_steps": steps_done,
-            "env_steps_per_s": (steps_done - last_steps) / max(now - last_t, 1e-9),
-            "env_steps_per_s_per_chip": (steps_done - last_steps)
-            / max(now - last_t, 1e-9) / n_dev,
-        }
-        last_t, last_steps = now, steps_done
-        if metrics_f:
-            metrics_f.write(json.dumps(row) + "\n")
-            metrics_f.flush()
-        if it % 10 == 0 or it == args.iters - 1:
-            sps = steps_done / (now - t0)
-            print(f"iter {it:4d}  loss {loss:8.4f}  reward/iter {rew:8.1f}  "
-                  f"episodes {dones:5d}  {sps:,.0f} env-steps/s")
+        pending.append((it, metrics))
+        if it % args.log_every == args.log_every - 1 or it == args.iters - 1:
+            drain(time.perf_counter())
         if args.checkpoint and it and it % 50 == 0:
             from miniworld_tpu.utils import checkpoint
 

@@ -37,6 +37,10 @@ class Ctx(NamedTuple):
     action: jax.Array  # (6,) clipped continuous action
     action_idx: jax.Array  # () i32 discrete action index, or -1
     truncated: jax.Array  # () bool — step limit reached this step
+    # bank-level (L, R, 4, NS) room-local wall packs (NOT per-env
+    # gathered); task logic that re-places entities (CollectHealth
+    # respawn) slices by (state.layout_id, room)
+    room_segs: Any = None
 
 
 def default_discrete_actions() -> np.ndarray:

@@ -205,7 +205,7 @@ class CollectHealth(EnvSpec):
         E = ctx.lay.rule_room.shape[0] - 1
         row = jnp.minimum(c, E - 1)
         new_pos, new_dir = place_ops.place_one(
-            sub, ctx.lay,
+            sub, ctx.lay, ctx.room_segs, s.layout_id,
             ctx.lay.rule_room[row, 0], ctx.lay.rule_bbox[row, 0],
             ctx.lay.rule_pos[row, 0], ctx.lay.rule_dir[row, 0],
             ctx.lay.rule_dir_lo[row, 0], ctx.lay.rule_dir_hi[row, 0],

@@ -68,8 +68,16 @@ class HostEntity:
         self.slot_idx = int(slot_idx)
 
 
-class MiniWorldGym(gym.Env):
-    """Single-env gymnasium adapter over an EnvSpec."""
+class MiniWorldGym(gym.Env, gym.utils.EzPickle):
+    """Single-env gymnasium adapter over an EnvSpec.
+
+    EzPickle like the reference envs (miniworld/envs/*.py call
+    EzPickle.__init__; round-trip tested upstream in
+    tests/test_miniworld.py:161-174): pickling stores the constructor
+    arguments and rebuilds a fresh env — runtime state (world, agent,
+    render caches) reinitializes on the next reset, exactly like the
+    reference.
+    """
 
     metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 30}
 
@@ -88,6 +96,13 @@ class MiniWorldGym(gym.Env):
         # skip_obs: return zero observations instead of raycasting.
         # Rendering consumes no rng, so trajectories are unchanged —
         # used by physics-parity tests that step thousands of times.
+        gym.utils.EzPickle.__init__(
+            self, spec,
+            obs_width=obs_width, obs_height=obs_height,
+            domain_rand=domain_rand, render_mode=render_mode,
+            max_episode_steps=max_episode_steps,
+            show_controls=show_controls, skip_obs=skip_obs, **spec_kwargs,
+        )
         if isinstance(spec, str):
             from miniworld_tpu.envs import make_spec
 

@@ -93,6 +93,28 @@ def intersect_circle_segs(
     return jnp.any(hit)
 
 
+def circle_segs4(point_xz: jax.Array, radius: jax.Array,
+                 segs4: jax.Array) -> jax.Array:
+    """Circle-vs-segments over component-major (4, NS) segment packs.
+
+    Lane-major layout of intersect_circle_segs: rows are
+    [a_x, a_z, b_x, b_z] with NS segments in the minor (lane) axis, so
+    every op is a lane-wide VPU op — the (NS, 2, 2) form's tiny inner
+    dims forced pathological (8,128) relayout copies on TPU (13 ms/step
+    on maze-scale scenes, see PERF.md round 2). Padding columns are
+    far-away unit segments (compile.SEG_PAD), never mask rows.
+    """
+    ax, az, bx, bz = segs4[0], segs4[1], segs4[2], segs4[3]
+    abx, abz = bx - ax, bz - az
+    apx = point_xz[0] - ax
+    apz = point_xz[1] - az
+    t = (apx * abx + apz * abz) / jnp.maximum(abx * abx + abz * abz, 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)
+    dx = ax + t * abx - point_xz[0]
+    dz = az + t * abz - point_xz[1]
+    return jnp.any(dx * dx + dz * dz < radius * radius)
+
+
 def point_inside_convex(
     p_xz: jax.Array,
     outline_xz: jax.Array,

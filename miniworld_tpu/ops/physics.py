@@ -34,7 +34,7 @@ PITCH_LIMIT = 89.0  # miniworld/miniworld.py:729-731
 
 
 def intersect(
-    lay,
+    segs4,
     state: EnvState,
     pos: jax.Array,
     radius: jax.Array,
@@ -44,6 +44,10 @@ def intersect(
 ):
     """Collision query (miniworld.py:1020-1046): Y is ignored.
 
+    ``segs4`` is the (4, NS) component-major wall-segment pack for the
+    agent's current room (Layout.room_segs) — conservative room-local
+    collision instead of all-walls scans (see scene/compile.py).
+
     Returns (wall_hit: bool, first_ent: int32 or -1). When
     ``include_agent`` the agent's bounding circle is also tested (the
     reference keeps the agent in the entity list; carried-object and
@@ -51,7 +55,7 @@ def intersect(
     (one past the entity table).
     """
     pos_xz = jnp.stack([pos[..., 0], pos[..., 2]], axis=-1)
-    wall_hit = geom.intersect_circle_segs(pos_xz, radius, lay.segs, lay.seg_mask)
+    wall_hit = geom.circle_segs4(pos_xz, radius, segs4)
 
     num_ents = state.ent_pos.shape[0]
     idxs = jnp.arange(num_ents)
@@ -88,7 +92,7 @@ def _with_carry_update(state: EnvState, ent_idx, new_pos):
 
 
 def update_orientation(
-    lay, state: EnvState, yaw_delta, pitch_delta, max_forward_step: float,
+    segs4, state: EnvState, yaw_delta, pitch_delta, max_forward_step: float,
     agent_radius: float = AGENT_RADIUS,
 ) -> EnvState:
     """Yaw/pitch update with carried-object collision revert
@@ -106,7 +110,7 @@ def update_orientation(
 
     p = carry_pos(turned, turned.pos, c, max_forward_step, agent_radius)
     wall_hit, ent_hit = intersect(
-        lay, turned, p, turned.ent_radius[c], skip_ent=c, include_agent=True,
+        segs4, turned, p, turned.ent_radius[c], skip_ent=c, include_agent=True,
         agent_radius=agent_radius,
     )
     blocked = has_carry & (wall_hit | (ent_hit >= 0))
@@ -125,7 +129,7 @@ def update_orientation(
 
 
 def move_agent(
-    lay, state: EnvState, fwd_dist, strafe_dist, max_forward_step: float,
+    segs4, state: EnvState, fwd_dist, strafe_dist, max_forward_step: float,
     agent_radius: float = AGENT_RADIUS,
 ):
     """Translation with collision + carried object (miniworld.py:691-717).
@@ -140,11 +144,11 @@ def move_agent(
         + geom.yaw_dir_vec(state.dir) * fwd_dist
         + geom.yaw_right_vec(state.dir) * strafe_dist
     )
-    wall_hit, ent_hit = intersect(lay, state, next_pos, agent_radius)
+    wall_hit, ent_hit = intersect(segs4, state, next_pos, agent_radius)
     agent_blocked = wall_hit | (ent_hit >= 0)
 
     p = carry_pos(state, next_pos, c, max_forward_step, agent_radius)
-    w2, e2 = intersect(lay, state, p, state.ent_radius[c], skip_ent=c,
+    w2, e2 = intersect(segs4, state, p, state.ent_radius[c], skip_ent=c,
                        include_agent=True, agent_radius=agent_radius)
     carry_blocked = has_carry & (w2 | (e2 >= 0))
 
@@ -168,6 +172,7 @@ def physics_step(
     state: EnvState,
     action: jax.Array,
     *,
+    segs4,
     max_forward_step: float,
     fwd_step,
     fwd_drift,
@@ -183,17 +188,17 @@ def physics_step(
     """
     yaw_delta = action[2] * turn_step * (math.pi / 180.0)
     pitch_delta = action[3] * turn_step
-    state = update_orientation(lay, state, yaw_delta, pitch_delta,
+    state = update_orientation(segs4, state, yaw_delta, pitch_delta,
                                max_forward_step, agent_radius)
 
     forward_dist = action[0] * fwd_step
     strafe_dist = action[1] * fwd_step + fwd_drift
-    state, moved = move_agent(lay, state, forward_dist, strafe_dist,
+    state, moved = move_agent(segs4, state, forward_dist, strafe_dist,
                               max_forward_step, agent_radius)
 
     # Pickup probe (miniworld.py:789-793)
     test_pos = state.pos + geom.yaw_dir_vec(state.dir) * 1.5 * agent_radius
-    wall_hit, first_ent = intersect(lay, state, test_pos, 1.2 * agent_radius)
+    wall_hit, first_ent = intersect(segs4, state, test_pos, 1.2 * agent_radius)
     can_pick = (
         (action[4] > 0.5)
         & (state.carrying < 0)

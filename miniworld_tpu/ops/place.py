@@ -39,6 +39,8 @@ def sample_room(key: jax.Array, lay) -> jax.Array:
 def place_one(
     key: jax.Array,
     lay,
+    room_segs: jax.Array,  # (L, R, 4, NS) bank-level room-local segs
+    layout_id: jax.Array,  # () i32
     rule_room: jax.Array,  # () i32
     rule_bbox: jax.Array,  # (4,) f32, nan = room bbox
     rule_pos: jax.Array,  # (3,) f32, nan = sample
@@ -80,7 +82,14 @@ def place_one(
             lay.room_norms[room_idx],
             lay.room_vmask[room_idx],
         )
-        wall_hit = geom.intersect_circle_segs(pos_xz, radius, lay.segs, lay.seg_mask)
+        # room-local wall set for the sampled room — a (4, NS) slice
+        # instead of an all-walls scan (the candidate and its radius
+        # stay within the room's collision REACH; scene/compile.py)
+        ns = room_segs.shape[3]
+        segs4 = jax.lax.dynamic_slice(
+            room_segs, (layout_id, room_idx, 0, 0), (1, 1, 4, ns)
+        )[0, 0]
+        wall_hit = geom.circle_segs4(pos_xz, radius, segs4)
         ent_hit = (
             geom.circle_vs_entities(pos_xz, radius, ent_pos_xz, ent_radius, ent_mask)
             >= 0

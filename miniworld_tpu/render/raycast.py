@@ -628,6 +628,7 @@ def render_rgbd(
     shapes_present=(True, True, True),
     chunk_vis=None,
     sched_len: int | None = None,
+    supersample: int = 1,
 ):
     """Render one env's observation. Returns (rgb u8 (H,W,3), depth (H,W,1)).
 
@@ -640,7 +641,17 @@ def render_rgbd(
     ``chunk_vis`` ((L, n_chunks, R) bool) + ``sched_len`` enable PVS
     chunk culling (the vector layer precomputes both; rendering stays
     pixel-identical — only provably-invisible chunks are skipped).
+
+    ``supersample=2`` renders a 2x2 ordered grid per pixel and
+    box-filters the shaded color down — the edge-anti-aliasing analog
+    of the reference's 8x MSAA observation buffer (opengl.py:219-261;
+    texture-interior AA is already covered by the frequency-space
+    filter in eval_fourier). Depth keeps the top-left sample (a mean
+    across an edge would invent depths no surface has). ~4x render
+    cost; off by default.
     """
+    ss = int(supersample)
+    width, height = width * ss, height * ss
     layout_id = state.layout_id
     origin = geom.cam_position(
         state.pos, state.dir, state.cam_height, state.cam_fwd_disp
@@ -713,10 +724,15 @@ def render_rgbd(
     hit_p = origin[None, :] + t_safe[:, None] * dirs
     shaded = shade(color, normal, hit_p, state)
     rgb = jnp.where(hit[:, None], shaded, state.sky_color[None, :])
+    rgb = rgb.reshape(height, width, 3)
+    depth = t_safe.reshape(height, width, 1)
+    if ss > 1:
+        rgb = rgb.reshape(height // ss, ss, width // ss, ss, 3).mean(
+            axis=(1, 3)
+        )
+        depth = depth[::ss, ::ss]
     rgb_u8 = jnp.clip(rgb * 255.0, 0.0, 255.0).astype(jnp.uint8)
-    rgb_u8 = rgb_u8.reshape(height, width, 3)
 
     if with_depth:
-        depth = t_safe.reshape(height, width, 1)
         return rgb_u8, depth
     return rgb_u8, None

@@ -33,6 +33,82 @@ def _round_up(n: int, m: int) -> int:
     return max(((n + m - 1) // m) * m, m)
 
 
+# Far-away padding value for room-local segment packs: a padded column
+# decodes to the unit segment (1e9, 1e9)-(1e9+1, 1e9), which no
+# in-world circle can touch (and is non-degenerate, so the projection
+# math stays finite).
+SEG_PAD = 1e9
+
+
+def _seg_intersects_rect(a, b, lo_x, hi_x, lo_z, hi_z) -> bool:
+    """Liang-Barsky: does segment a-b intersect the axis rect?"""
+    d = (b[0] - a[0], b[1] - a[1])
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-d[0], a[0] - lo_x), (d[0], hi_x - a[0]),
+        (-d[1], a[1] - lo_z), (d[1], hi_z - a[1]),
+    ):
+        if abs(p) < 1e-12:
+            if q < 0:
+                return False
+            continue
+        t = q / p
+        if p < 0:
+            t0 = max(t0, t)
+        else:
+            t1 = min(t1, t)
+        if t0 > t1:
+            return False
+    return True
+
+
+def _room_local_segs(world, segs: np.ndarray) -> np.ndarray:
+    """(R, 4, NS) component-major per-room collision segment packs.
+
+    A room's pack holds every wall segment within collision REACH of
+    its AABB — conservative for every physics/placement query made
+    while the agent (or a placement candidate) is in that room: moves
+    (radius + step), the carried-object check at its forward offset
+    (miniworld.py:677-689), the pickup probe, and rejection-sampled
+    positions up to ``radius`` outside the room bbox.
+    """
+    max_r = float(world.agent_radius)
+    for s in world.slots:
+        for pid in s.proto_ids:
+            max_r = max(max_r, world.protos[pid].radius * float(s.size_hi))
+    maxf = float(world.max_forward_step)
+    r_a = float(world.agent_radius)
+    reach = max(
+        r_a + maxf + 0.1,  # move target
+        1.05 * (r_a + max_r + maxf) + max_r,  # carried-object query
+        2.7 * r_a,  # pickup probe (1.5 r + 1.2 r)
+        2.0 * max_r,  # placement candidate (bbox + radius, query radius)
+    ) + 0.5
+
+    rooms = world.rooms
+    sel_per_room = []
+    for room in rooms:
+        lo_x, hi_x = room.min_x - reach, room.max_x + reach
+        lo_z, hi_z = room.min_z - reach, room.max_z + reach
+        sel = [
+            i for i in range(segs.shape[0])
+            if _seg_intersects_rect(segs[i, 0], segs[i, 1],
+                                    lo_x, hi_x, lo_z, hi_z)
+        ]
+        sel_per_room.append(sel)
+    ns = _round_up(max([len(s) for s in sel_per_room] + [1]), 8)
+    out = np.full((len(rooms), 4, ns), SEG_PAD, dtype=np.float32)
+    out[:, 2, :] = SEG_PAD + 1.0  # b_x: keep pad segments non-degenerate
+    for r, sel in enumerate(sel_per_room):
+        if sel:
+            picked = segs[sel]  # (k, 2, 2)
+            out[r, 0, :len(sel)] = picked[:, 0, 0]
+            out[r, 1, :len(sel)] = picked[:, 0, 1]
+            out[r, 2, :len(sel)] = picked[:, 1, 0]
+            out[r, 3, :len(sel)] = picked[:, 1, 1]
+    return out
+
+
 @dataclass
 class Layout:
     """One compiled world layout (all numpy; see module docstring)."""
@@ -52,6 +128,11 @@ class Layout:
     # collision
     segs: np.ndarray  # (W,2,2) f32 XZ endpoints
     seg_mask: np.ndarray  # (W,) bool
+    # room-local collision sets: component-major [a_x,a_z,b_x,b_z] packs
+    # of every segment within collision reach of each room's AABB, so
+    # the physics/placement hot loops slice (4, NS) per env instead of
+    # gathering all W segments (pad columns = SEG_PAD far segments)
+    room_segs: np.ndarray  # (R,4,NS) f32
     # rooms (placement / point_inside)
     room_outline: np.ndarray  # (R,V,2) f32
     room_norms: np.ndarray  # (R,V,2) f32
@@ -107,6 +188,10 @@ class Layout:
             room_pvs=_pad(_pad(self.room_pvs, s["R"], axis=1, fill=False), s["R"], fill=False),
             segs=_pad(self.segs, s["W"]),
             seg_mask=_pad(self.seg_mask, s["W"], fill=False),
+            room_segs=_pad(
+                _pad(self.room_segs, s["NS"], axis=2, fill=SEG_PAD),
+                s["R"], fill=SEG_PAD,
+            ),
             room_outline=_pad(_pad(self.room_outline, s["V"], axis=1), s["R"]),
             room_norms=_pad(_pad(self.room_norms, s["V"], axis=1), s["R"]),
             room_vmask=_pad(_pad(self.room_vmask, s["V"], axis=1, fill=False), s["R"], fill=False),
@@ -147,6 +232,7 @@ class Layout:
         return dict(
             S=self.tri_verts.shape[0],
             W=self.segs.shape[0],
+            NS=self.room_segs.shape[2],
             R=self.room_outline.shape[0],
             V=self.room_outline.shape[1],
             P=self.proto_shape.shape[0],
@@ -168,7 +254,7 @@ jax.tree_util.register_pytree_node(
 
 def natural_sizes(layouts, align: int = 8) -> dict:
     """Max sizes across layouts, rounded up for stable shapes."""
-    keys = ["S", "W", "R", "V", "P", "M", "E", "C", "T"]
+    keys = ["S", "W", "NS", "R", "V", "P", "M", "E", "C", "T"]
     out = {}
     for k in keys:
         m = max(lay.sizes[k] for lay in layouts)
@@ -346,6 +432,7 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
 
     segs = world._wall_segs.astype(np.float32)
     seg_mask = np.ones(segs.shape[0], dtype=bool)
+    room_segs = _room_local_segs(world, world._wall_segs)
 
     R = len(world.rooms)
     V = max(r.num_walls for r in world.rooms)
@@ -454,7 +541,7 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
         tri_tex_count=tri_tex_count,
         tri_color=tri_color, tri_mask=tri_mask,
         tri_room=tri_room, room_pvs=room_pvs,
-        segs=segs, seg_mask=seg_mask,
+        segs=segs, seg_mask=seg_mask, room_segs=room_segs,
         room_outline=room_outline, room_norms=room_norms,
         room_vmask=room_vmask, room_mask=room_mask,
         room_aabb=room_aabb, room_area=room_area,

@@ -42,6 +42,10 @@ _TRI_FIELDS = (
     "tri_verts", "tri_attr", "tri_uv", "tri_normal", "tri_tex",
     "tri_tex_base", "tri_tex_count", "tri_color", "tri_mask",
     "tri_room", "room_pvs",
+    # collision arrays are never gathered per env: physics/placement
+    # slice room-local (4, NS) packs from the bank instead (the full
+    # per-env (W, 2, 2) gather forced 13 ms/step layout copies on maze)
+    "segs", "seg_mask", "room_segs",
 )
 
 
@@ -83,9 +87,11 @@ def _to_device(bank_np: Layout) -> Layout:
 
 
 # Fixed cost of one chunk-scan iteration expressed in triangle
-# equivalents (carry read/write + attr matmul + slice setup), used to
-# pick the culling chunk size. Calibrated on v5e (PERF.md).
-_CHUNK_OVERHEAD_TRIS = 32
+# equivalents (carry read/write + attr matmul + per-iteration
+# dynamic-slice/scalar stalls), used to pick the culling chunk size.
+# Profiled on v5e (Maze 8x8, B=1024): ~5 ms fixed per iteration vs
+# ~0.09 ms per triangle column.
+_CHUNK_OVERHEAD_TRIS = 56
 
 
 def _chunk_visibility(bank_np: Layout, chunk: int) -> np.ndarray:
@@ -180,6 +186,7 @@ class MiniWorldVec:
         tex_mode: str = "fourier",
         fourier_k: int = FOURIER_TERMS,
         render_backend: str = "auto",
+        supersample: int = 1,
     ):
         if isinstance(spec, str):
             from miniworld_tpu.envs import make_spec
@@ -197,7 +204,11 @@ class MiniWorldVec:
         # fewer scan iterations (fewer carry read-writes — measured 30%
         # on FourRooms going 64 -> 128 at B=1024); cap each intermediate
         # at ~2.5 GB so XLA's buffer reuse keeps the peak inside HBM.
-        hw = self.obs_width * self.obs_height
+        # supersample=2: 2x2 ordered-grid edge AA (reference obs buffers
+        # are 8x MSAA, opengl.py:219-261); ~4x render cost, opt-in
+        assert supersample in (1, 2), supersample
+        self.supersample = supersample
+        hw = self.obs_width * self.obs_height * supersample ** 2
         auto = int(2.5e9 / 4 / max(num_envs * hw, 1))
         self.tri_chunk = max(16, min(tri_chunk, (auto // 16) * 16 or 16))
         self._chunk_vis = None  # set after the bank is compiled
@@ -332,7 +343,7 @@ class MiniWorldVec:
             e, kk = inp
             alt = alts[e]
             pos, d = place_ops.place_one(
-                kk, lay,
+                kk, lay, bank.room_segs, layout_id,
                 lay.rule_room[e, alt], lay.rule_bbox[e, alt],
                 lay.rule_pos[e, alt], lay.rule_dir[e, alt],
                 lay.rule_dir_lo[e, alt], lay.rule_dir_hi[e, alt],
@@ -358,7 +369,7 @@ class MiniWorldVec:
         # agent placement (rule row E)
         agent_alt = alts[E]
         agent_pos, agent_dir = place_ops.place_one(
-            ks[6], lay,
+            ks[6], lay, bank.room_segs, layout_id,
             lay.rule_room[E, agent_alt], lay.rule_bbox[E, agent_alt],
             lay.rule_pos[E, agent_alt], lay.rule_dir[E, agent_alt],
             lay.rule_dir_lo[E, agent_alt], lay.rule_dir_hi[E, agent_alt],
@@ -432,6 +443,18 @@ class MiniWorldVec:
         turn_step = self._sample_param(pk[2], "turn_step")
 
         lay = lay_view(bank, state.layout_id)
+        # room-local wall pack for every collision query this step (the
+        # agent's reach from its pre-step room is covered by REACH;
+        # scene/compile._room_local_segs)
+        from miniworld_tpu.render.raycast import room_of_point
+
+        room = room_of_point(
+            bank, state.layout_id, state.pos[jnp.array([0, 2])]
+        )
+        ns = bank.room_segs.shape[3]
+        segs4 = jax.lax.dynamic_slice(
+            bank.room_segs, (state.layout_id, room, 0, 0), (1, 1, 4, ns)
+        )[0, 0]
 
         if spec.override_physics:
             action_vec = jnp.zeros(6, jnp.float32)
@@ -458,6 +481,7 @@ class MiniWorldVec:
                 action_vec = physics.clip_action(action.astype(jnp.float32))
             state, res = physics.physics_step(
                 lay, state, action_vec,
+                segs4=segs4,
                 max_forward_step=spec.max_forward_step,
                 fwd_step=fwd_step, fwd_drift=fwd_drift, turn_step=turn_step,
                 agent_radius=spec.agent_radius,
@@ -467,6 +491,7 @@ class MiniWorldVec:
         ctx = Ctx(
             lay=lay, prev=prev, state=state, res=res,
             action=action_vec, action_idx=action_idx, truncated=truncated,
+            room_segs=bank.room_segs,
         )
         reward, term, state = spec.transition(ctx)
         reward = jnp.asarray(reward, jnp.float32)
@@ -500,6 +525,7 @@ class MiniWorldVec:
             shapes_present=self._shapes_present,
             chunk_vis=self._chunk_vis,
             sched_len=self._sched_len if self._chunk_vis is not None else None,
+            supersample=self.supersample,
         )
         return self._wrap_obs_one(rgb, depth, state)
 

@@ -185,3 +185,30 @@ def test_env_checker(name):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         check_env(env, skip_render_check=True)
+
+
+@pytest.mark.parametrize("name", ["Hallway", "FourRooms", "MazeS2", "Sign",
+                                  "PickupObjects", "CameraControl"])
+def test_pickle_env(name):
+    """EzPickle round-trip: the rebuilt env reproduces reset/step
+    exactly (reference tests/test_miniworld.py:161-174)."""
+    import pickle
+
+    from miniworld_tpu.gym_env import MiniWorldGym
+
+    import jax
+
+    env = MiniWorldGym(name, obs_width=24, obs_height=18)
+    env.reset(seed=5)
+    env2 = pickle.loads(pickle.dumps(env))
+    o1, i1 = env.reset(seed=9)
+    o2, i2 = env2.reset(seed=9)
+    a = 0
+    r1 = env.step(a)
+    r2 = env2.step(a)
+    leaves1 = jax.tree.leaves((o1, i1, r1))
+    leaves2 = jax.tree.leaves((o2, i2, r2))
+    assert len(leaves1) == len(leaves2)
+    for x, y in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    env.close(), env2.close()

@@ -135,3 +135,167 @@ def test_carry_pos_formula():
         gym_env.cam_height - box.height - 0.3, 0
     )
     np.testing.assert_allclose(p, expect, atol=1e-12)
+
+
+# ---- portal / junction / diagonal-wall parity (fixed-layout envs) ----
+
+_PORTAL_PAIRS = [
+    ("FourRooms", "MiniWorld-FourRooms-v0"),  # 4 portals + junction rooms
+    ("YMazeLeft", "MiniWorld-YMazeLeft-v0"),  # diagonal walls, triangular hub
+    ("TMazeRight", "MiniWorld-TMazeRight-v0"),
+    ("Sidewalk", "MiniWorld-Sidewalk-v0"),  # open-air + street termination
+    ("PutNext", "MiniWorld-PutNext-v0"),  # many movable boxes
+]
+
+
+def _sync_envs(gym_env, vec_env, seed):
+    gym_env.reset(seed=seed)
+    state, _ = vec_env.reset(jax.random.key(0))
+    ent_pos = np.asarray(state.ent_pos).copy()
+    ent_dir = np.asarray(state.ent_dir).copy()
+    ent_radius = np.asarray(state.ent_radius).copy()
+    ent_height = np.asarray(state.ent_height).copy()
+    ent_size = np.asarray(state.ent_size).copy()
+    for i, e in enumerate(gym_env.entities):
+        ent_pos[0, i] = e.pos
+        ent_dir[0, i] = e.dir
+        ent_radius[0, i] = e.radius
+        ent_height[0, i] = e.height
+    state = state.replace(
+        pos=jnp.asarray(gym_env.agent_pos, jnp.float32)[None],
+        dir=jnp.asarray([gym_env.agent_dir], jnp.float32),
+        cam_pitch=jnp.asarray([gym_env.cam_pitch], jnp.float32),
+        carrying=jnp.asarray([-1], jnp.int32),
+        ent_pos=jnp.asarray(ent_pos),
+        ent_dir=jnp.asarray(ent_dir),
+        ent_radius=jnp.asarray(ent_radius),
+        ent_height=jnp.asarray(ent_height),
+        ent_size=jnp.asarray(ent_size),
+    )
+    return state
+
+
+def _compare_step(gym_env, info_d, state, t, atol=1e-3):
+    np.testing.assert_allclose(
+        np.asarray(info_d["agent_pos"][0]), gym_env.agent_pos, atol=atol,
+        err_msg=f"step {t}",
+    )
+    d_dev = float(info_d["agent_dir"][0]) % (2 * math.pi)
+    d_host = gym_env.agent_dir % (2 * math.pi)
+    assert min(abs(d_dev - d_host), 2 * math.pi - abs(d_dev - d_host)) < atol
+    # dynamic entity positions track too (pickup/carry/drop parity)
+    for i, e in enumerate(gym_env.entities):
+        if not e.static:
+            np.testing.assert_allclose(
+                np.asarray(state.ent_pos[0, i]), e.pos, atol=atol,
+                err_msg=f"step {t} entity {i}",
+            )
+
+
+@pytest.mark.parametrize("name,gym_id", _PORTAL_PAIRS,
+                         ids=[p[0] for p in _PORTAL_PAIRS])
+def test_portal_trajectory_parity(name, gym_id):
+    """f32 device path tracks the f64 host through portals, junction
+    rooms, and diagonal walls, entities present, raw 6-D actions
+    (turn/strafe/pitch/pickup/drop all exercised)."""
+    gym_env = MiniWorldGym(name, obs_width=W, obs_height=H, skip_obs=True)
+    vec_env = MiniWorldVec(gym_id, num_envs=1, obs_width=W, obs_height=H)
+    state = _sync_envs(gym_env, vec_env, seed=5)
+
+    rng = np.random.default_rng(11)
+    for t in range(80):
+        a = rng.uniform(-1, 1, size=6).astype(np.float32)
+        a[4] = 1.0 if rng.random() < 0.15 else 0.0  # pickup attempts
+        a[5] = 1.0 if rng.random() < 0.10 else 0.0  # drop attempts
+        _, r_h, term_h, trunc_h, _ = gym_env.step(a)
+        state, _, r_d, d_d, info_d = vec_env.step(state, jnp.asarray(a)[None])
+        assert abs(float(r_d[0]) - r_h) < 1e-3, f"step {t}"
+        assert bool(info_d["termination"][0]) == term_h, f"step {t}"
+        if term_h or trunc_h:
+            break
+        _compare_step(gym_env, info_d, state, t)
+
+
+def test_carry_through_portal():
+    """Pick up FourRooms' box, carry it through a portal (junction
+    room), drop it — both paths agree on every pose and the carried
+    object's position (miniworld.py:677-745 carry semantics)."""
+    gym_env = MiniWorldGym("FourRooms", obs_width=W, obs_height=H,
+                           skip_obs=True)
+    vec_env = MiniWorldVec("MiniWorld-FourRooms-v0", num_envs=1,
+                           obs_width=W, obs_height=H)
+    state = _sync_envs(gym_env, vec_env, seed=3)
+
+    # teleport near the box, facing it, then script:
+    # pickup -> walk forward through the nearest portal -> drop.
+    # 1.25 m sits outside the near() radius (r_box + r_agent + 1.1*max
+    # fwd = 1.154) but inside pickup-probe range; once carried, the box
+    # rides at 1.05*(r_a + r_box + max_fwd) = 1.19 m — deliberately
+    # beyond near(), so carrying never terminates (miniworld.py:677-689)
+    box = gym_env.entities[0]
+    # approach from the room-center side so the pickup probe (radius
+    # 0.48 at 1.5 r ahead) can't clip a wall behind the box
+    room = next(r for r in gym_env.world.rooms if r.point_inside(box.pos))
+    center = np.array([room.mid_x, 0.0, room.mid_z])
+    u = center - box.pos
+    u = u / max(np.linalg.norm(u), 1e-9)
+    start = box.pos + 1.25 * u
+    face = math.atan2(u[2], -u[0])  # dir_vec == -u
+    gym_env.agent_pos = start.copy()
+    gym_env.agent_dir = face
+    state = state.replace(
+        pos=jnp.asarray(start, jnp.float32)[None],
+        dir=jnp.asarray([face], jnp.float32),
+    )
+    pick = np.array([0, 0, 0, 0, 1, 0], np.float32)
+    fwd = np.array([1, 0, 0, 0, 0, 0], np.float32)
+    turn = np.array([0, 0, 0.5, 0, 0, 0], np.float32)
+    drop = np.array([0, 0, 0, 0, 0, 1], np.float32)
+    script = [pick] + [fwd] * 10 + [turn] * 2 + [fwd] * 20 + [drop, fwd, fwd]
+    carried_any = False
+    for t, a in enumerate(script):
+        gym_env.step(a)
+        state, _, _, d_d, info_d = vec_env.step(state, jnp.asarray(a)[None])
+        assert (int(state.carrying[0]) >= 0) == (gym_env.carrying is not None), t
+        carried_any |= gym_env.carrying is not None
+        if bool(d_d[0]):
+            break
+        _compare_step(gym_env, info_d, state, t)
+    assert carried_any, "script never picked up the box"
+
+
+def test_maze_device_invariants():
+    """Banked-layout (MazeS3) device path: the agent never escapes its
+    maze (always strictly inside some room, within floorplan extents)
+    across random walks — guards the room-local collision sets and
+    culling-era physics on procedural layouts."""
+    import dataclasses
+
+    from miniworld_tpu.envs import make_spec
+
+    spec = dataclasses.replace(make_spec("MiniWorld-MazeS3-v0"), num_layouts=4)
+    env = MiniWorldVec(spec, num_envs=8, obs_width=W, obs_height=H,
+                       bank_seed=2)
+    bank = env._bank_np
+    state, _ = env.reset(jax.random.key(0))
+    key = jax.random.key(1)
+    for t in range(120):
+        key, k = jax.random.split(key)
+        state, _, _, _, _ = env.step(state, env.sample_actions(k))
+        pos = np.asarray(state.pos)
+        lids = np.asarray(state.layout_id)
+        for b in range(pos.shape[0]):
+            lo_x, hi_x, lo_z, hi_z = bank.extents[lids[b]]
+            assert lo_x - 1e-3 <= pos[b, 0] <= hi_x + 1e-3, (t, b, pos[b])
+            assert lo_z - 1e-3 <= pos[b, 2] <= hi_z + 1e-3, (t, b, pos[b])
+            # inside some room of its layout (portal boundaries allowed)
+            ins = -np.inf
+            for r in range(bank.room_mask.shape[1]):
+                if not bank.room_mask[lids[b], r]:
+                    continue
+                o = bank.room_outline[lids[b], r]
+                n = bank.room_norms[lids[b], r]
+                m = bank.room_vmask[lids[b], r]
+                d = ((pos[b, [0, 2]][None, :] - o) * n).sum(axis=1)
+                ins = max(ins, np.where(m, d, np.inf).min())
+            assert ins > -(env.spec.agent_radius - 1e-3), (t, b, ins)
