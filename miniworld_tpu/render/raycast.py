@@ -71,6 +71,9 @@ GL_GLOBAL_AMBIENT = 0.2
 ATTR_DIM = 16
 _AMAP, _BMAP = slice(0, 6), slice(6, 8)
 _NRM, _COL, _SLOT, _ONE = slice(8, 11), slice(11, 14), 14, 15
+# chunk-vertex read path: component-major tri_verts9 rows (True) vs
+# (TC, 3, 3) slices of tri_verts; perf experiment toggle
+_USE_VERTS9 = True
 
 
 def camera_rays(state, width: int, height: int):
@@ -143,12 +146,24 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
 
     ``chunk_sched`` ((N,) i32, optional) restricts the scan to the
     given chunk indices (PVS culling; see chunk_schedule). Out-of-range
-    sentinel entries re-render the last chunk, which is harmless.
+    sentinel entries re-render the last chunk (dynamic_slice clamps),
+    which is harmless under z-min.
+
+    The vector layer repads the bank so ``S % tri_chunk == 0``
+    (MiniWorldVec._repad_for_chunks): chunk boundaries then align with
+    the (n_chunks, chunk) row view of per-tri episode state
+    (slot_override), and vertex reads come from the component-major
+    ``tri_verts9`` rows — both avoid the tiny-inner-dim relayout
+    copies the (TC, 3, 3) gathers forced (~9 ms/step on maze).
     """
     num_tris = bank.tri_verts.shape[-3]
     tri_chunk = min(tri_chunk, num_tris)
     n_chunks = -(-num_tris // tri_chunk)
     hw = dirs.shape[0]
+    if slot_override is not None and num_tris % tri_chunk == 0:
+        slot_rows = slot_override.reshape(n_chunks, tri_chunk)
+    else:
+        slot_rows = None
 
     def body(carry, c):
         # barrier: XLA:TPU otherwise fuses/remats iterations of this
@@ -156,32 +171,48 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
         carry = jax.lax.optimization_barrier(carry)
         t_best, attr_best = carry
         start = c * tri_chunk
-        # clamp the last chunk into range (S padded >= chunk not required)
-        start = jnp.minimum(start, num_tris - tri_chunk)
-        verts = jax.lax.dynamic_slice(
-            bank.tri_verts, (layout_id, start, 0, 0), (1, tri_chunk, 3, 3)
-        )[0]
+        if _USE_VERTS9:
+            v9 = jax.lax.dynamic_slice(
+                bank.tri_verts9, (layout_id, 0, start), (1, 9, tri_chunk)
+            )[0]  # (9, TC) component-major
+        else:
+            v9 = jax.lax.dynamic_slice(
+                bank.tri_verts, (layout_id, start, 0, 0),
+                (1, tri_chunk, 3, 3),
+            )[0].reshape(tri_chunk, 9).T
         attrs = jax.lax.dynamic_slice(
             bank.tri_attr, (layout_id, start, 0), (1, tri_chunk, ATTR_DIM)
         )[0]
         mask = jax.lax.dynamic_slice(
             bank.tri_mask, (layout_id, start), (1, tri_chunk)
         )[0]
-        if slot_override is not None:
-            ov = jax.lax.dynamic_slice(slot_override, (start,), (tri_chunk,))
+        if slot_rows is not None:
+            ov = slot_rows[jnp.minimum(c, n_chunks - 1)]
+            attrs = jnp.concatenate(
+                [attrs[:, :_SLOT], ov[:, None], attrs[:, _SLOT + 1:]], axis=1
+            )
+        elif slot_override is not None:
+            start_c = jnp.minimum(start, num_tris - tri_chunk)
+            ov = jax.lax.dynamic_slice(slot_override, (start_c,), (tri_chunk,))
             attrs = jnp.concatenate(
                 [attrs[:, :_SLOT], ov[:, None], attrs[:, _SLOT + 1:]], axis=1
             )
 
-        v0 = verts[:, 0]
-        e1 = verts[:, 1] - v0
-        e2 = verts[:, 2] - v0
-        s = origin[None, :] - v0  # (TC, 3)
+        # all-lane component math on (TC,) rows (v9 is component-major)
+        e1x, e1y, e1z = v9[3] - v9[0], v9[4] - v9[1], v9[5] - v9[2]
+        e2x, e2y, e2z = v9[6] - v9[0], v9[7] - v9[1], v9[8] - v9[2]
+        sx = origin[0] - v9[0]
+        sy = origin[1] - v9[1]
+        sz = origin[2] - v9[2]
 
-        g_det = jnp.cross(e2, e1)  # det   = d . g_det
-        g_u = jnp.cross(e2, s)  # u*det = d . g_u
-        g_v = jnp.cross(s, e1)  # v*det = d . g_v
-        t_num = jnp.sum(e2 * g_v, axis=-1)  # (TC,): t*det (pixel-free)
+        # g_det = e2 x e1 ; g_u = e2 x s ; g_v = s x e1
+        gdx, gdy, gdz = (e2y * e1z - e2z * e1y, e2z * e1x - e2x * e1z,
+                         e2x * e1y - e2y * e1x)
+        gux, guy, guz = (e2y * sz - e2z * sy, e2z * sx - e2x * sz,
+                         e2x * sy - e2y * sx)
+        gvx, gvy, gvz = (sy * e1z - sz * e1y, sz * e1x - sx * e1z,
+                         sx * e1y - sy * e1x)
+        t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC,)
 
         # Per-(tri,pixel) contractions as broadcast FMAs in (TC, HW)
         # orientation: triangles lead, pixels minor — the z-buffer
@@ -189,16 +220,16 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
         # over a TC minor axis measured ~6.5ms/step on FourRooms).
         # K=3 dots are avoided entirely (their convolution-fusion
         # outputs need layout copies costing 2x the math).
-        def contract(g):
+        def contract(gx, gy, gz):
             return (
-                g[:, 0:1] * dirs[None, :, 0]
-                + g[:, 1:2] * dirs[None, :, 1]
-                + g[:, 2:3] * dirs[None, :, 2]
+                gx[:, None] * dirs[None, :, 0]
+                + gy[:, None] * dirs[None, :, 1]
+                + gz[:, None] * dirs[None, :, 2]
             )
 
-        det = contract(g_det)  # (TC, HW)
-        u_num = contract(g_u)
-        v_num = contract(g_v)
+        det = contract(gdx, gdy, gdz)  # (TC, HW)
+        u_num = contract(gux, guy, guz)
+        v_num = contract(gvx, gvy, gvz)
 
         # det > 0 <=> front-facing (GL_CULL_FACE; miniworld.py:513)
         inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)

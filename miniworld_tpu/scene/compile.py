@@ -115,6 +115,11 @@ class Layout:
 
     # static geometry
     tri_verts: np.ndarray  # (S,3,3) f32
+    # component-major copy for the render chunk scan: rows are
+    # [v0x v0y v0z v1x v1y v1z v2x v2y v2z] with triangles in the
+    # minor (lane) axis — per-chunk slices land lane-aligned instead
+    # of forcing (.., 3, 3) relayout copies (PERF.md round 2)
+    tri_verts9: np.ndarray  # (9,S) f32
     tri_attr: np.ndarray  # (S,16) f32 packed render attrs (raycast.ATTR_DIM)
     tri_uv: np.ndarray  # (S,3,2) f32
     tri_normal: np.ndarray  # (S,3) f32
@@ -176,6 +181,7 @@ class Layout:
         nan4 = float("nan")
         return Layout(
             tri_verts=_pad(self.tri_verts, s["S"]),
+            tri_verts9=_pad(self.tri_verts9, s["S"], axis=1),
             tri_attr=_pad(self.tri_attr, s["S"]),
             tri_uv=_pad(self.tri_uv, s["S"]),
             tri_normal=_pad(self.tri_normal, s["S"]),
@@ -535,7 +541,9 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
     )
 
     return Layout(
-        tri_verts=tri_verts, tri_attr=tri_attr,
+        tri_verts=tri_verts,
+        tri_verts9=np.ascontiguousarray(tri_verts.reshape(S, 9).T),
+        tri_attr=tri_attr,
         tri_uv=tri_uv, tri_normal=tri_normal,
         tri_tex=tri_tex, tri_tex_base=tri_tex_base,
         tri_tex_count=tri_tex_count,

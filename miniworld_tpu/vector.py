@@ -39,7 +39,7 @@ from miniworld_tpu.state import EnvState, StepResult, tree_select
 # Layout fields small enough to gather per env each step (everything
 # except the triangle soup, which the renderer indexes chunk-wise).
 _TRI_FIELDS = (
-    "tri_verts", "tri_attr", "tri_uv", "tri_normal", "tri_tex",
+    "tri_verts", "tri_verts9", "tri_attr", "tri_uv", "tri_normal", "tri_tex",
     "tri_tex_base", "tri_tex_count", "tri_color", "tri_mask",
     "tri_room", "room_pvs",
     # collision arrays are never gathered per env: physics/placement
@@ -119,6 +119,42 @@ def _chunk_visibility(bank_np: Layout, chunk: int) -> np.ndarray:
             if len(rset):
                 vis[li, c, :] = pvs[li][:, rset].any(axis=1)
     return vis
+
+
+def _repad_for_chunks(bank_np: Layout, chunk: int) -> Layout:
+    """Pad the bank's triangle axis to a multiple of ``chunk``.
+
+    Aligned chunks let the render scan slice without clamping and view
+    per-tri episode state as clean (n_chunks, chunk) rows
+    (raycast._tri_pass). Padding rows are masked out.
+    """
+    import dataclasses as _dc
+
+    S = bank_np.tri_mask.shape[1]
+    S2 = -(-S // chunk) * chunk
+    if S2 == S:
+        return bank_np
+    pad = S2 - S
+
+    def p(arr, axis, fill):
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        return np.pad(arr, widths, constant_values=fill)
+
+    return _dc.replace(
+        bank_np,
+        tri_verts=p(bank_np.tri_verts, 1, 0.0),
+        tri_verts9=p(bank_np.tri_verts9, 2, 0.0),
+        tri_attr=p(bank_np.tri_attr, 1, 0.0),
+        tri_uv=p(bank_np.tri_uv, 1, 0.0),
+        tri_normal=p(bank_np.tri_normal, 1, 0.0),
+        tri_tex=p(bank_np.tri_tex, 1, -1),
+        tri_tex_base=p(bank_np.tri_tex_base, 1, -1.0),
+        tri_tex_count=p(bank_np.tri_tex_count, 1, 1.0),
+        tri_color=p(bank_np.tri_color, 1, 0.0),
+        tri_mask=p(bank_np.tri_mask, 1, False),
+        tri_room=p(bank_np.tri_room, 1, -2),
+    )
 
 
 def plan_culling(bank_np: Layout, chunk_cap: int):
@@ -209,7 +245,21 @@ class MiniWorldVec:
         assert supersample in (1, 2), supersample
         self.supersample = supersample
         hw = self.obs_width * self.obs_height * supersample ** 2
-        auto = int(2.5e9 / 4 / max(num_envs * hw, 1))
+        # Render micro-batching: at very large B x HW the render scan's
+        # (B', HW, chunk) intermediates + the (B', HW, 16) attr carry
+        # exceed HBM even at the minimum chunk size; split the batch
+        # into serial sub-batches (smallest divisor of B keeping
+        # B' x HW <= 1e7, i.e. ~2048 envs at 80x60 — still saturating,
+        # and small enough that the chunk-size planner isn't forced to
+        # the minimum chunk).
+        self.render_microbatch = 1
+        while (
+            num_envs % (self.render_microbatch * 2) == 0
+            and (num_envs // self.render_microbatch) * hw > 1.0e7
+        ):
+            self.render_microbatch *= 2
+        eff_envs = num_envs // self.render_microbatch
+        auto = int(2.5e9 / 4 / max(eff_envs * hw, 1))
         self.tri_chunk = max(16, min(tri_chunk, (auto // 16) * 16 or 16))
         self._chunk_vis = None  # set after the bank is compiled
         self._sched_len = None
@@ -228,17 +278,28 @@ class MiniWorldVec:
         assert render_backend in ("pallas", "xla"), render_backend
         self.render_backend = render_backend
         bank_np, tex_np = build_bank(spec, bank_seed, tex_mode, fourier_k)
-        self._bank_np = bank_np
-        self._bank = _to_device(bank_np)
         # PVS chunk culling (scene/pvs.py): per-env scans visit only the
         # chunks visible from the camera's room, with a static worst-case
         # schedule length. Exact — culled renders are pixel-identical.
         if render_backend != "pallas":
-            chunk_vis, self.tri_chunk, self._sched_len = plan_culling(
-                bank_np, self.tri_chunk
-            )
-            if chunk_vis is not None:
+            _, self.tri_chunk, _ = plan_culling(bank_np, self.tri_chunk)
+            # never pad the bank BEYOND its natural triangle count (a
+            # 112-chunk on Hallway's 56 triangles would double the scan)
+            self.tri_chunk = min(self.tri_chunk, bank_np.tri_mask.shape[1])
+            # align chunks (and the per-tri state row view) to the bank
+            bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
+            chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
+            n_chunks = chunk_vis.shape[1]
+            bound = 1
+            for li in range(chunk_vis.shape[0]):
+                counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
+                if counts.size:
+                    bound = max(bound, int(counts.max()))
+            if bound < n_chunks:
                 self._chunk_vis = jnp.asarray(chunk_vis)
+                self._sched_len = bound
+        self._bank_np = bank_np
+        self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
         # fourier -> (N, 3+8K) coefficients; nearest -> (N,R,R,3) u8.
         self._atlas = jnp.asarray(tex_np)
@@ -542,6 +603,22 @@ class MiniWorldVec:
     def _render_batch(self, bank: Layout, atlas, state: EnvState):
         """Batched observation render (Pallas kernel or vmapped XLA)."""
         if self.render_backend != "pallas":
+            mb = self.render_microbatch
+            if mb > 1:
+                def sub(s):
+                    return jax.vmap(self._obs_one, in_axes=(None, None, 0))(
+                        bank, atlas, s
+                    )
+
+                parts = jax.tree.map(
+                    lambda x: x.reshape(mb, x.shape[0] // mb, *x.shape[1:]),
+                    state,
+                )
+                obs, depth = jax.lax.map(sub, parts)
+                merge = lambda x: x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+                return jax.tree.map(merge, obs), (
+                    jax.tree.map(merge, depth) if depth is not None else None
+                )
             return jax.vmap(self._obs_one, in_axes=(None, None, 0))(
                 bank, atlas, state
             )
