@@ -183,9 +183,9 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
         attrs = jax.lax.dynamic_slice(
             bank.tri_attr, (layout_id, start, 0), (1, tri_chunk, ATTR_DIM)
         )[0]
-        mask = jax.lax.dynamic_slice(
-            bank.tri_mask, (layout_id, start), (1, tri_chunk)
-        )[0]
+        # no mask read: padding triangles are all-zero by construction,
+        # so det == 0 and they can never hit (the per-chunk mask slice
+        # measured 4 ms/step on maze for pure redundancy)
         if slot_rows is not None:
             ov = slot_rows[jnp.minimum(c, n_chunks - 1)]
             attrs = jnp.concatenate(
@@ -241,14 +241,15 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
             & (u_num + v_num <= det)
             & (t > NEAR)
             & (t < FAR)
-            & mask[:, None]
         )
         t = jnp.where(hit, t, jnp.inf)
 
         t_min = jnp.min(t, axis=0)  # (HW,)
         # one-hot of the within-chunk winner; the attr matmul's ones
-        # column returns the row sum for free, normalizing exact ties
-        # after the contraction (ties are GL z-fights)
+        # column returns the row sum for free. Exact ties (GL z-fights)
+        # accumulate and are normalized ONCE after the scan by the ones
+        # column — bitwise-identical to per-chunk division, minus a
+        # (B, HW, 16) divide per iteration.
         ohf = ((t == t_min[None, :]) & hit).astype(jnp.float32)
         # attribute resolve: (TC, HW)^T @ (TC, 16) — MXU, no gather
         sel = jax.lax.dot_general(
@@ -256,7 +257,6 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (HW, 16)
-        sel = sel / jnp.maximum(sel[:, _ONE:_ONE + 1], 1.0)
 
         closer = t_min < t_best
         return (
@@ -270,6 +270,7 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
     )
     xs = jnp.arange(n_chunks, dtype=jnp.int32) if chunk_sched is None else chunk_sched
     (t_best, attr_best), _ = jax.lax.scan(body, init, xs)
+    attr_best = attr_best / jnp.maximum(attr_best[:, _ONE:_ONE + 1], 1.0)
     return t_best, attr_best
 
 

@@ -47,6 +47,15 @@ CASES = [
     ("GreenKey", "MiniWorld-GreenKey-v0", 47, 120, False),
     ("CameraControl", "MiniWorld-CameraControl-v0", 53, 100, False),
     ("CameraControlClick", "MiniWorld-CameraControlClick-v0", 59, 100, False),
+    # domain randomization ON: every np_random draw (reset param
+    # sampling, texture variants, per-step forward/drift/turn samples)
+    # must land in the reference's order for these to stay bit-exact
+    ("Hallway", "MiniWorld-Hallway-v0", 61, 120, True),
+    ("FourRooms", "MiniWorld-FourRooms-v0", 67, 120, True),
+    ("MazeS2", "MiniWorld-MazeS2-v0", 71, 120, True),
+    ("PickupObjects", "MiniWorld-PickupObjects-v0", 73, 120, True),
+    ("Sidewalk", "MiniWorld-Sidewalk-v0", 79, 100, True),
+    ("ThreeRooms", "MiniWorld-ThreeRooms-v0", 83, 100, True),
 ]
 
 _IDS = [f"{c[0]}-s{c[2]}{'-dr' if c[4] else ''}" for c in CASES]
