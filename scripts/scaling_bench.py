@@ -24,6 +24,11 @@ import time
 
 import jax
 
+# honor an explicit CPU request: this machine's sitecustomize force-
+# registers the TPU plugin over the env var (see CLAUDE.md)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def measure(n_devices: int, envs_per_device: int, obs_w: int, obs_h: int,
             horizon: int, env_id: str) -> float:
@@ -34,18 +39,18 @@ def measure(n_devices: int, envs_per_device: int, obs_w: int, obs_h: int,
     env = MiniWorldVec(env_id, num_envs=envs_per_device * n_devices,
                        obs_width=obs_w, obs_height=obs_h)
     step, init = make_train_step(env, mesh, horizon=horizon)
-    params, state, obs, depth = init(jax.random.key(0))
+    tstate, state, obs, depth = init(jax.random.key(0))
     state = shard_env_batch(mesh, state)
     obs = shard_env_batch(mesh, obs)
     depth = shard_env_batch(mesh, depth)
 
-    params, state, obs, depth, m = step(params, state, obs, depth,
+    tstate, state, obs, depth, m = step(tstate, state, obs, depth,
                                         jax.random.key(1))
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
     trials = 3
     for i in range(trials):
-        params, state, obs, depth, m = step(params, state, obs, depth,
+        tstate, state, obs, depth, m = step(tstate, state, obs, depth,
                                             jax.random.key(2 + i))
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
@@ -58,6 +63,8 @@ def main():
     p.add_argument("--envs-per-device", type=int, default=64)
     p.add_argument("--obs", default="80x60")
     p.add_argument("--horizon", type=int, default=8)
+    p.add_argument("--metrics", default=None,
+                   help="write the scaling result as one JSON line")
     args = p.parse_args()
     obs_w, obs_h = map(int, args.obs.split("x"))
 
@@ -68,13 +75,20 @@ def main():
                       args.env)
         results[n] = sps
         print(f"{n} device(s): {sps:,.0f} env-steps/s")
-    if n_max > 1:
-        eff = results[n_max] / (results[1] * n_max)
-        print(json.dumps({
-            "devices": n_max,
-            "env_steps_per_s": round(results[n_max]),
-            "scaling_efficiency": round(eff, 3),
-        }))
+    row = {
+        "devices": n_max,
+        "env_steps_per_s": round(results[n_max]),
+        "env_steps_per_s_per_device": round(results[n_max] / n_max),
+        "scaling_efficiency": (
+            round(results[n_max] / (results[1] * n_max), 3) if n_max > 1 else 1.0
+        ),
+        "env": args.env,
+        "envs_per_device": args.envs_per_device,
+    }
+    print(json.dumps(row))
+    if args.metrics:
+        with open(args.metrics, "a") as f:
+            f.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":
