@@ -220,6 +220,11 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
         # over a TC minor axis measured ~6.5ms/step on FourRooms).
         # K=3 dots are avoided entirely (their convolution-fusion
         # outputs need layout copies costing 2x the math).
+        # Broadcast FMAs on the VPU — measured AGAIN in round 2 to beat
+        # a packed (3TC, 3) @ (3, HW) dot_general by 2.3x on maze (the
+        # K=3 contraction can't tile the MXU; its lowering also
+        # produced edge cracks — rgb diffs to 205, depth off by 40x at
+        # silhouettes). This op is at the f32 VPU roofline.
         def contract(gx, gy, gz):
             return (
                 gx[:, None] * dirs[None, :, 0]
