@@ -356,6 +356,22 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
         ],
         axis=1,
     )
+    # Per-texture contrast expansion (glyph legibility): near-binary
+    # textures carry gain > 1 in their trailing coefficient column;
+    # expanding the soft K-term reconstruction away from its mean (dc)
+    # recovers readable strokes. gain == 1 leaves pixels untouched.
+    dcg = jax.lax.dot_general(
+        oh,
+        jnp.concatenate(
+            [coeffs_env[:, 0:3], coeffs_env[:, -1:]], axis=1
+        ),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HW, 4): [dc rgb | gain]
+    gain = dcg[:, 3:4]
+    texel = jnp.where(
+        gain > 1.0, dcg[:, 0:3] + (texel - dcg[:, 0:3]) * gain, texel
+    )
     textured = slot_i >= 0
     return jnp.where(textured[:, None], jnp.clip(texel, 0.0, 1.0), 1.0)
 

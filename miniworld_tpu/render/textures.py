@@ -54,7 +54,13 @@ def fit_fourier_texture(img: np.ndarray, k: int = FOURIER_TERMS) -> np.ndarray:
     the winning texture's coefficients, selected by a one-hot matmul —
     zero gathers anywhere in the pixel pipeline.
 
-    Packing: [dc(3) | fu(K) | fv(K) | A(K*3) | B(K*3)] = 3 + 8K floats.
+    Packing: [dc(3) | fu(K) | fv(K) | A(K*3) | B(K*3) | gain(1)]
+    = 4 + 8K floats. ``gain`` is a contrast-expansion factor applied
+    after reconstruction for near-binary images (char glyphs): K
+    cosine terms cannot make sharp strokes (fit error measured flat in
+    K for binary glyphs), but expanding the soft reconstruction away
+    from the image mean recovers legible edges. gain == 1 for normal
+    textures (identity).
     """
     r = img.shape[0]
     f = np.fft.fft2(img, axes=(0, 1))  # (R, R, 3) complex
@@ -78,8 +84,13 @@ def fit_fourier_texture(img: np.ndarray, k: int = FOURIER_TERMS) -> np.ndarray:
     # 2*Re[c * e^{i theta}] = 2|c|cos(ang+theta) = A cos(theta) + B sin(theta)
     a_term = 2.0 * np.real(coeff)  # (K, 3)
     b_term = -2.0 * np.imag(coeff)
+    # near-binary detection: most pixels at the extremes of a wide range
+    grey = img.mean(axis=2)
+    lo, hi = grey.min(), grey.max()
+    extreme = ((np.abs(grey - lo) < 0.15) | (np.abs(grey - hi) < 0.15)).mean()
+    gain = 2.5 if (hi - lo) > 0.5 and extreme > 0.75 else 1.0
     return np.concatenate(
-        [dc, fu, fv, a_term.T.ravel(), b_term.T.ravel()]
+        [dc, fu, fv, a_term.T.ravel(), b_term.T.ravel(), [gain]]
     ).astype(np.float32)
 
 
@@ -170,13 +181,14 @@ class TextureCatalog:
         return atlas
 
     def build_fourier(self, k_terms: int = FOURIER_TERMS) -> np.ndarray:
-        """(N, 3 + 8K) packed Fourier coefficients of all textures.
+        """(N, 4 + 8K) packed Fourier coefficients of all textures.
 
         See ``fit_fourier_texture`` — the TPU render path evaluates
         textures from this table with zero per-pixel gathers.
         """
         n = max(len(self.paths), 1)
-        out = np.zeros((n, 3 + 8 * k_terms), dtype=np.float32)
+        out = np.zeros((n, 4 + 8 * k_terms), dtype=np.float32)
+        out[:, -1] = 1.0
         for i, path in enumerate(self.paths):
             tile = np.frombuffer(_load_tile(path, self.res), dtype=np.uint8)
             img = tile.reshape(self.res, self.res, 3).astype(np.float64) / 255.0

@@ -208,3 +208,20 @@ def test_supersample_edge_quality():
     assert blended_frac(b) > blended_frac(a) * 1.2 + 1e-4, (
         blended_frac(a), blended_frac(b)
     )
+
+
+def test_glyph_contrast_gain():
+    """Near-binary textures (char glyphs) carry a contrast-expansion
+    gain in the Fourier table; ordinary textures stay identity."""
+    import numpy as np
+
+    from miniworld_tpu.render.textures import fit_fourier_texture
+
+    rng = np.random.default_rng(0)
+    # synthetic glyph: black stroke on white
+    glyph = np.ones((96, 96, 3))
+    glyph[20:70, 40:52] = 0.0
+    assert fit_fourier_texture(glyph)[-1] > 1.0
+    # ordinary mid-tone texture: identity
+    noise = 0.3 + 0.4 * rng.random((96, 96, 3))
+    assert fit_fourier_texture(noise)[-1] == 1.0
