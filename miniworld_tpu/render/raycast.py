@@ -280,7 +280,8 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
 
 
 def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
-                 k_terms: int, footprint: jax.Array | None = None):
+                 k_terms: int, footprint: jax.Array | None = None,
+                 has_gain: bool = True):
     """Evaluate the Fourier texture model per pixel.
 
     Args:
@@ -360,18 +361,21 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     # textures carry gain > 1 in their trailing coefficient column;
     # expanding the soft K-term reconstruction away from its mean (dc)
     # recovers readable strokes. gain == 1 leaves pixels untouched.
-    dcg = jax.lax.dot_general(
-        oh,
-        jnp.concatenate(
-            [coeffs_env[:, 0:3], coeffs_env[:, -1:]], axis=1
-        ),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (HW, 4): [dc rgb | gain]
-    gain = dcg[:, 3:4]
-    texel = jnp.where(
-        gain > 1.0, dcg[:, 0:3] + (texel - dcg[:, 0:3]) * gain, texel
-    )
+    # ``has_gain`` is a static flag (any table row with gain > 1) so
+    # glyph-free env classes skip the extra contraction entirely.
+    if has_gain:
+        dcg = jax.lax.dot_general(
+            oh,
+            jnp.concatenate(
+                [coeffs_env[:, 0:3], coeffs_env[:, -1:]], axis=1
+            ),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HW, 4): [dc rgb | gain]
+        gain = dcg[:, 3:4]
+        texel = jnp.where(
+            gain > 1.0, dcg[:, 0:3] + (texel - dcg[:, 0:3]) * gain, texel
+        )
     textured = slot_i >= 0
     return jnp.where(textured[:, None], jnp.clip(texel, 0.0, 1.0), 1.0)
 
@@ -760,7 +764,8 @@ def render_rgbd(
         )
         footprint = t_uv * pix_angle * amap_scale
         texel = eval_fourier(
-            coeffs_env, attr[:, _SLOT], uv, tex["k"], footprint
+            coeffs_env, attr[:, _SLOT], uv, tex["k"], footprint,
+            has_gain=tex.get("has_gain", True),
         )
     else:
         texel = eval_nearest(tex["atlas"], state.tex_map, attr[:, _SLOT], uv)

@@ -14,6 +14,7 @@ randomization selects among the same images.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -38,7 +39,8 @@ ATLAS_RES = 256
 FOURIER_TERMS = 32
 
 
-def fit_fourier_texture(img: np.ndarray, k: int = FOURIER_TERMS) -> np.ndarray:
+def fit_fourier_texture(img: np.ndarray, k: int = FOURIER_TERMS,
+                        gain: float = 1.0) -> np.ndarray:
     """Fit one texture to a K-term 2-D cosine series; returns packed f32.
 
     TPU texturing rationale: XLA/TPU per-pixel gathers run at ~16 ns per
@@ -84,11 +86,6 @@ def fit_fourier_texture(img: np.ndarray, k: int = FOURIER_TERMS) -> np.ndarray:
     # 2*Re[c * e^{i theta}] = 2|c|cos(ang+theta) = A cos(theta) + B sin(theta)
     a_term = 2.0 * np.real(coeff)  # (K, 3)
     b_term = -2.0 * np.imag(coeff)
-    # near-binary detection: most pixels at the extremes of a wide range
-    grey = img.mean(axis=2)
-    lo, hi = grey.min(), grey.max()
-    extreme = ((np.abs(grey - lo) < 0.15) | (np.abs(grey - hi) < 0.15)).mean()
-    gain = 2.5 if (hi - lo) > 0.5 and extreme > 0.75 else 1.0
     return np.concatenate(
         [dc, fu, fv, a_term.T.ravel(), b_term.T.ravel(), [gain]]
     ).astype(np.float32)
@@ -192,7 +189,13 @@ class TextureCatalog:
         for i, path in enumerate(self.paths):
             tile = np.frombuffer(_load_tile(path, self.res), dtype=np.uint8)
             img = tile.reshape(self.res, self.res, 3).astype(np.float64) / 255.0
-            out[i] = fit_fourier_texture(img, k_terms)
+            # contrast-expansion gain for character glyphs only (the
+            # chars/ set): generic near-binary detection would also
+            # catch checkerboard floors, where amplifying the
+            # AA-attenuated reconstruction re-introduces shimmer
+            is_glyph = f"textures{os.sep}chars{os.sep}" in path or "/chars/" in path
+            out[i] = fit_fourier_texture(img, k_terms,
+                                         gain=2.5 if is_glyph else 1.0)
         return out
 
     def slot_tables(self) -> tuple:

@@ -303,6 +303,11 @@ class MiniWorldVec:
         # "atlas" carries whichever texture table the mode needs:
         # fourier -> (N, 3+8K) coefficients; nearest -> (N,R,R,3) u8.
         self._atlas = jnp.asarray(tex_np)
+        # static: does any texture carry a glyph contrast gain? (skips
+        # the per-pixel gain contraction for glyph-free env classes)
+        self._tex_has_gain = bool(
+            tex_mode == "fourier" and (tex_np[:, -1] > 1.0).any()
+        )
 
         self.num_layouts = bank_np.tri_verts.shape[0]
         self.num_ent_slots = bank_np.slot_protos.shape[1]
@@ -576,7 +581,8 @@ class MiniWorldVec:
 
     def _obs_one(self, bank: Layout, atlas, state: EnvState):
         if self.tex_mode == "fourier":
-            tex = {"mode": "fourier", "coeffs": atlas, "k": self.fourier_k}
+            tex = {"mode": "fourier", "coeffs": atlas, "k": self.fourier_k,
+                   "has_gain": self._tex_has_gain}
         else:
             tex = {"mode": "nearest", "atlas": atlas}
         rgb, depth = render_rgbd(
@@ -697,8 +703,9 @@ class MiniWorldVec:
         """Install (or remove, with None) a runtime discrete-action
         table, like the reference's MiniWorldEnv.set_discrete_actions
         (miniworld/miniworld.py:654-664). Each row is a 6-D action
-        vector; scalar actions index into it. Cached jitted programs
-        stay valid — the table is resolved at trace time per call.
+        vector; scalar actions index into it. The jitted step/rollout
+        programs bake the table in at trace time, so their caches are
+        dropped here and retrace on the next call.
         """
         if discrete_actions is None:
             self._action_table = None

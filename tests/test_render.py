@@ -211,17 +211,17 @@ def test_supersample_edge_quality():
 
 
 def test_glyph_contrast_gain():
-    """Near-binary textures (char glyphs) carry a contrast-expansion
-    gain in the Fourier table; ordinary textures stay identity."""
+    """Char-glyph textures (chars/ set) carry a contrast-expansion
+    gain in the Fourier table; every other texture stays identity
+    (amplifying checkerboard floors would re-introduce AA shimmer)."""
     import numpy as np
 
-    from miniworld_tpu.render.textures import fit_fourier_texture
+    from miniworld_tpu.render.textures import TextureCatalog
+    from miniworld_tpu.utils.assets import texture_variant_paths
 
-    rng = np.random.default_rng(0)
-    # synthetic glyph: black stroke on white
-    glyph = np.ones((96, 96, 3))
-    glyph[20:70, 40:52] = 0.0
-    assert fit_fourier_texture(glyph)[-1] > 1.0
-    # ordinary mid-tone texture: identity
-    noise = 0.3 + 0.4 * rng.random((96, 96, 3))
-    assert fit_fourier_texture(noise)[-1] == 1.0
+    cat = TextureCatalog()
+    glyph_idx = cat.add_path(texture_variant_paths("chars/ch_0x52")[0])
+    floor_idx = cat.add_path(texture_variant_paths("floor_tiles_bw")[0])
+    table = cat.build_fourier()
+    assert table[glyph_idx, -1] > 1.0
+    assert table[floor_idx, -1] == 1.0
