@@ -256,7 +256,9 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
         # column — bitwise-identical to per-chunk division, minus a
         # (B, HW, 16) divide per iteration.
         ohf = ((t == t_min[None, :]) & hit).astype(jnp.float32)
-        # attribute resolve: (TC, HW)^T @ (TC, 16) — MXU, no gather
+        # attribute resolve: (TC, HW)^T @ (TC, 16) — MXU, no gather.
+        # (A component-major (16, HW) carry orientation measured dead
+        # even; XLA already lays this out well.)
         sel = jax.lax.dot_general(
             ohf, attrs,
             dimension_numbers=(((0,), (0,)), ((), ())),
