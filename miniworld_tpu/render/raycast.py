@@ -132,7 +132,7 @@ def chunk_schedule(bank, chunk_vis, layout_id, origin, sched_len: int):
 
 
 def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
-              slot_override=None, chunk_sched=None):
+              slot_override=None, chunk_sched=None, init=None):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
     The winning triangle's packed attributes are resolved in-chunk via
@@ -148,6 +148,11 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
     given chunk indices (PVS culling; see chunk_schedule). Out-of-range
     sentinel entries re-render the last chunk (dynamic_slice clamps),
     which is harmless under z-min.
+
+    ``init`` ((HW,) t, (HW, ATTR_DIM) attr) seeds the carry — how
+    dynamic mesh entities join the z-competition for free (the scan's
+    own closer-select is the merge; no post-pass select or layout
+    copies). Seeded attrs must already be tie-normalized.
 
     The vector layer repads the bank so ``S % tri_chunk == 0``
     (MiniWorldVec._repad_for_chunks): chunk boundaries then align with
@@ -271,10 +276,11 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
             jnp.where(closer[:, None], sel, attr_best),
         ), None
 
-    init = (
-        jnp.full(hw, jnp.inf, jnp.float32),
-        jnp.zeros((hw, ATTR_DIM), jnp.float32),
-    )
+    if init is None:
+        init = (
+            jnp.full(hw, jnp.inf, jnp.float32),
+            jnp.zeros((hw, ATTR_DIM), jnp.float32),
+        )
     xs = jnp.arange(n_chunks, dtype=jnp.int32) if chunk_sched is None else chunk_sched
     (t_best, attr_best), _ = jax.lax.scan(body, init, xs)
     attr_best = attr_best / jnp.maximum(attr_best[:, _ONE:_ONE + 1], 1.0)
@@ -405,15 +411,14 @@ def eval_nearest(atlas: jax.Array, tex_map: jax.Array, slot: jax.Array,
 def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
     """Triangle intersection for dynamic mesh entities (keys, duckies,
     medkits): each SHAPE_MESH_TRIS prototype carries its decimated
-    LOCAL-space triangle rows (scene/entities._mesh_tri_rows); per
-    frame the ray is transformed into the entity frame (rotation about
-    Y, uniform size_mul scale, translation — an affine map, so the ray
-    parameter t stays world-comparable) and the packed attrs are
-    composed back to world space. Returns (t, attr) merged across
-    entities, directly competitive with the static chunk pass — the
-    winning mesh triangle goes through the SAME texture evaluation,
-    so dynamic meshes are textured exactly like baked static ones
-    (reference renders both via ObjMesh.render, objmesh.py:280-292).
+    LOCAL-space triangle rows (scene/entities._mesh_tri_rows). Per
+    frame every entity's rows are transformed to world space (vmapped
+    over the few entity slots), concatenated into ONE (E*M, ...) block,
+    and intersected in a single pass — no per-entity scan, no carry
+    selects. Returns (t (HW,), attr (HW, ATTR_DIM)) normalized, ready
+    to seed the static chunk scan's carry (render_rgbd feeds it as the
+    scan init, so the z-merge with static geometry is the scan's own
+    closer-select — zero extra merge ops or layout copies).
 
     ``fourier``: translate the layout-local texture slot column to the
     shared-atlas index (mesh textures have a single variant) so the
@@ -427,11 +432,12 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
     proto_height = bank.proto_height[layout_id]
     tex_base = bank.tex_slot_base[layout_id].astype(jnp.float32)
 
-    def body(carry, e):
-        t_best, attr_best = carry
+    def world_rows(e):
+        """One entity's rows in world space: verts (M,3,3), attrs
+        (M, ATTR_DIM), valid (M,)."""
         p = state.ent_proto[e]
         rows = bank.proto_mesh[layout_id, p]  # (M, 25)
-        rmask = bank.proto_mesh_mask[layout_id, p]  # (M,)
+        rmask = bank.proto_mesh_mask[layout_id, p]
         active = (
             state.ent_alive[e]
             & ~proto_static[p]
@@ -440,104 +446,82 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
         su = state.ent_height[e] / jnp.maximum(proto_height[p], 1e-9)
         pos = state.ent_pos[e]
         cd, sd = jnp.cos(state.ent_dir[e]), jnp.sin(state.ent_dir[e])
-        # world = R @ local with R = rot_y(dir); R columns:
         col_x = jnp.stack([cd, 0.0, -sd])
         col_y = jnp.array([0.0, 1.0, 0.0])
         col_z = jnp.stack([sd, 0.0, cd])
 
-        def to_local(w):  # R^T w, for (...,3)
-            return jnp.stack(
-                [w @ col_x, w @ col_y, w @ col_z], axis=-1
+        def rot(a):  # (..., 3) local row vectors -> R a
+            return (
+                a[..., 0:1] * col_x
+                + a[..., 1:2] * col_y
+                + a[..., 2:3] * col_z
             )
 
+        verts = rot(rows[:, 0:9].reshape(-1, 3, 3)) * su + pos  # (M,3,3)
+        # local-UV rows compose as A_w = R a / su, b_w = b - A_w . pos
         inv_su = 1.0 / jnp.maximum(su, 1e-9)
-        o_l = to_local(origin - pos) * inv_su  # (3,)
-        d_l = to_local(dirs) * inv_su  # (HW, 3)
-
-        verts = rows[:, 0:9].reshape(-1, 3, 3)
-        v0 = verts[:, 0]
-        e1 = verts[:, 1] - v0
-        e2 = verts[:, 2] - v0
-        s = o_l[None, :] - v0
-
-        g_det = jnp.cross(e2, e1)
-        g_u = jnp.cross(e2, s)
-        g_v = jnp.cross(s, e1)
-        t_num = jnp.sum(e2 * g_v, axis=-1)
-
-        def contract(g):
-            return (
-                g[:, 0:1] * d_l[None, :, 0]
-                + g[:, 1:2] * d_l[None, :, 1]
-                + g[:, 2:3] * d_l[None, :, 2]
-            )
-
-        det = contract(g_det)  # (M, HW)
-        u_num = contract(g_u)
-        v_num = contract(g_v)
-        inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
-        t = t_num[:, None] * inv_det
-        hit = (
-            (det > 1e-12)
-            & (u_num >= 0.0)
-            & (v_num >= 0.0)
-            & (u_num + v_num <= det)
-            & (t > NEAR)
-            & (t < FAR)
-            & (rmask & active)[:, None]
-        )
-        t = jnp.where(hit, t, jnp.inf)
-
-        # compose local attrs -> world: for a local-UV row vector a,
-        # a . p_l = ((R a) / su) . (p - pos), so A_w = R a / su and
-        # b_w = b_l - A_w . pos; normals rotate (uniform scale).
-        def to_world_rows(a):  # (M, 3) local row vectors -> R a
-            return (
-                a[:, 0:1] * col_x[None, :]
-                + a[:, 1:2] * col_y[None, :]
-                + a[:, 2:3] * col_z[None, :]
-            )
-
-        a1 = to_world_rows(rows[:, 9:12]) * inv_su
-        a2 = to_world_rows(rows[:, 12:15]) * inv_su
+        a1 = rot(rows[:, 9:12]) * inv_su
+        a2 = rot(rows[:, 12:15]) * inv_su
         b1 = rows[:, 15] - a1 @ pos
         b2 = rows[:, 16] - a2 @ pos
-        nrm = to_world_rows(rows[:, 17:20])
+        nrm = rot(rows[:, 17:20])
         slot = rows[:, 23]
         if fourier:
-            # local slot -> shared-atlas index (single-variant textures)
             slot_i = jnp.maximum(jnp.round(slot).astype(jnp.int32), 0)
             slot = jnp.where(slot >= 0.0, tex_base[slot_i], -1.0)
-        # (M, 16) in ATTR_DIM order: [A(6) | b(2) | nrm(3) | col(3) | slot | one]
+        # ATTR_DIM order: [A(6) | b(2) | nrm(3) | col(3) | slot | one]
         attrs = jnp.concatenate(
             [a1, a2, b1[:, None], b2[:, None], nrm, rows[:, 20:23],
              slot[:, None], rows[:, 24:25]],
             axis=1,
         )
+        # deactivated rows collapse to degenerate geometry (no hit)
+        verts = jnp.where((rmask & active)[:, None, None], verts, 0.0)
+        return verts, attrs
 
-        t_min = jnp.min(t, axis=0)
-        ohf = ((t == t_min[None, :]) & hit).astype(jnp.float32)
-        sel = jax.lax.dot_general(
-            ohf, attrs,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        sel = sel / jnp.maximum(sel[:, _ONE:_ONE + 1], 1.0)
+    verts, attrs = jax.vmap(world_rows)(jnp.arange(num_ents))
+    verts = verts.reshape(-1, 3, 3)  # (E*M, 3, 3)
+    attrs = attrs.reshape(-1, ATTR_DIM)
 
-        closer = t_min < t_best
+    v0 = verts[:, 0]
+    e1 = verts[:, 1] - v0
+    e2 = verts[:, 2] - v0
+    s = origin[None, :] - v0
+    g_det = jnp.cross(e2, e1)
+    g_u = jnp.cross(e2, s)
+    g_v = jnp.cross(s, e1)
+    t_num = jnp.sum(e2 * g_v, axis=-1)
+
+    def contract(g):
         return (
-            jnp.where(closer, t_min, t_best),
-            jnp.where(closer[:, None], sel, attr_best),
-        ), None
+            g[:, 0:1] * dirs[None, :, 0]
+            + g[:, 1:2] * dirs[None, :, 1]
+            + g[:, 2:3] * dirs[None, :, 2]
+        )
 
-    init = (
-        jnp.full(hw, jnp.inf, jnp.float32),
-        jnp.zeros((hw, ATTR_DIM), jnp.float32),
+    det = contract(g_det)  # (E*M, HW)
+    u_num = contract(g_u)
+    v_num = contract(g_v)
+    inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
+    t = t_num[:, None] * inv_det
+    hit = (
+        (det > 1e-12)
+        & (u_num >= 0.0)
+        & (v_num >= 0.0)
+        & (u_num + v_num <= det)
+        & (t > NEAR)
+        & (t < FAR)
     )
-    (t_best, attr_best), _ = jax.lax.scan(
-        body, init, jnp.arange(num_ents)
-    )
-    return t_best, attr_best
+    t = jnp.where(hit, t, jnp.inf)
+    t_min = jnp.min(t, axis=0)  # (HW,)
+    ohf = ((t == t_min[None, :]) & hit).astype(jnp.float32)
+    sel = jax.lax.dot_general(
+        ohf, attrs,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HW, ATTR_DIM)
+    sel = sel / jnp.maximum(sel[:, _ONE:_ONE + 1], 1.0)
+    return t_min, sel
 
 
 def _entity_pass(bank, layout_id, state, origin, dirs,
@@ -720,21 +704,21 @@ def render_rgbd(
     sched = None
     if chunk_vis is not None:
         sched = chunk_schedule(bank, chunk_vis, layout_id, origin, sched_len)
-    t_tri, attr = _tri_pass(
-        bank, layout_id, origin, dirs, tri_chunk,
-        slot_override=state.tri_slots if tex["mode"] == "fourier" else None,
-        chunk_sched=sched,
-    )
+    seed = None
     if shapes_present[2]:
         # dynamic mesh triangles compete in the SAME (t, attr) stream
-        # as static geometry, so they get full texture evaluation
-        t_m, attr_m = _entity_mesh_pass(
+        # as static geometry (full texture evaluation included): their
+        # pass result seeds the static scan's carry, making the z-merge
+        # the scan's own closer-select
+        seed = _entity_mesh_pass(
             bank, layout_id, state, origin, dirs,
             fourier=tex["mode"] == "fourier",
         )
-        mesh_wins = t_m < t_tri
-        t_tri = jnp.where(mesh_wins, t_m, t_tri)
-        attr = jnp.where(mesh_wins[:, None], attr_m, attr)
+    t_tri, attr = _tri_pass(
+        bank, layout_id, origin, dirs, tri_chunk,
+        slot_override=state.tri_slots if tex["mode"] == "fourier" else None,
+        chunk_sched=sched, init=seed,
+    )
     t_ent, col_ent, n_ent = _entity_pass(
         bank, layout_id, state, origin, dirs, shapes_present
     )
