@@ -52,12 +52,7 @@ import jax
 import jax.numpy as jnp
 
 from miniworld_tpu.ops import geom
-from miniworld_tpu.scene.entities import (
-    SHAPE_BOX,
-    SHAPE_MESH_BOX,
-    SHAPE_MESH_TRIS,
-    SHAPE_SPHERE,
-)
+from miniworld_tpu.scene.entities import SHAPE_BOX, SHAPE_MESH_TRIS, SHAPE_SPHERE
 
 NEAR = 0.04  # miniworld/miniworld.py:1287
 FAR = 100.0
@@ -430,6 +425,7 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
     proto_shape = bank.proto_shape[layout_id]
     proto_static = bank.proto_static[layout_id]
     proto_height = bank.proto_height[layout_id]
+    proto_colorable = bank.proto_colorable[layout_id]
     tex_base = bank.tex_slot_base[layout_id].astype(jnp.float32)
 
     def world_rows(e):
@@ -469,9 +465,15 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
         if fourier:
             slot_i = jnp.maximum(jnp.round(slot).astype(jnp.int32), 0)
             slot = jnp.where(slot >= 0.0, tex_base[slot_i], -1.0)
+        # colorable protos (boxes) tint their white rows with the
+        # entity's episode color, obj_color_bias included
+        # (entity.py:405-432)
+        color = rows[:, 20:23] * jnp.where(
+            proto_colorable[p], state.ent_color[e], jnp.ones(3)
+        )
         # ATTR_DIM order: [A(6) | b(2) | nrm(3) | col(3) | slot | one]
         attrs = jnp.concatenate(
-            [a1, a2, b1[:, None], b2[:, None], nrm, rows[:, 20:23],
+            [a1, a2, b1[:, None], b2[:, None], nrm, color,
              slot[:, None], rows[:, 24:25]],
             axis=1,
         )
@@ -526,21 +528,19 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
 
 def _entity_pass(bank, layout_id, state, origin, dirs,
                  shapes_present=(True, True, True)):
-    """Analytic intersection for dynamic entities.
+    """Analytic intersection for sphere (Ball) and box entities.
 
-    Carries running (t, rgb_base, normal) buffers — entities are few,
-    so attributes are computed inline instead of deferred.
-    ``shapes_present`` = static (spheres, boxes, mesh-tris) flags from
-    the compiled bank; absent shapes skip their math entirely (mesh
-    triangles run in _entity_mesh_pass, not here).
+    Dynamic meshes render as real triangles in _entity_mesh_pass;
+    boxes also join it when a world runs that pass anyway (see
+    box_proto / scene/compile.py) — here the analytic OBB serves
+    box-only scenes, where it measured ~10% faster than routing 12
+    rows through the mesh machinery. Spheres stay analytic always
+    (the source ball meshes are tessellated spheres, entity.py:445-452).
+    Carries running (t, rgb, normal) buffers over the few entity slots.
     """
     has_sphere, has_box, _ = shapes_present
     hw = dirs.shape[0]
     num_ents = state.ent_pos.shape[0]
-
-    t0 = jnp.full(hw, jnp.inf, jnp.float32)
-    c0 = jnp.zeros((hw, 3), jnp.float32)
-    n0 = jnp.zeros((hw, 3), jnp.float32)
 
     proto_shape = bank.proto_shape[layout_id]
     proto_static = bank.proto_static[layout_id]
@@ -549,9 +549,7 @@ def _entity_pass(bank, layout_id, state, origin, dirs,
         t_best, col_best, n_best = carry
         shape = proto_shape[state.ent_proto[e]]
         static = proto_static[state.ent_proto[e]]
-        # Static entities are baked into the triangle soup; skip them
-        # here (reference renders statics from the display list).
-        active = state.ent_alive[e] & ~static & (shape != 0)
+        active = state.ent_alive[e] & ~static
 
         pos = state.ent_pos[e]
         direction = state.ent_dir[e]
@@ -581,62 +579,69 @@ def _entity_pass(bank, layout_id, state, origin, dirs,
             sph_hit = jnp.zeros(hw, bool)
             n_sph = jnp.zeros((hw, 3), jnp.float32)
 
-        # --- oriented box (Box / mesh impostor) ---
-        # Local frame: columns of R(dir); box spans [-sx/2,sx/2] x
-        # [0,sy] x [-sz/2,sz/2] (drawBox usage, entity.py:409-432).
-        cd, sd = jnp.cos(direction), jnp.sin(direction)
-        zero = jnp.zeros_like(cd)
-        ax_x = jnp.stack([cd, zero, -sd])
-        ax_y = jnp.array([0.0, 1.0, 0.0])
-        ax_z = jnp.stack([sd, zero, cd])
+        # --- oriented box (analytic OBB; drawBox extents,
+        # entity.py:409-432) ---
+        if has_box:
+            cd, sd = jnp.cos(direction), jnp.sin(direction)
+            zero = jnp.zeros_like(cd)
+            ax_x = jnp.stack([cd, zero, -sd])
+            ax_y = jnp.array([0.0, 1.0, 0.0])
+            ax_z = jnp.stack([sd, zero, cd])
 
-        o_rel = origin - pos
-        o_l = jnp.stack([o_rel @ ax_x, o_rel @ ax_y, o_rel @ ax_z])
+            o_rel = origin - pos
+            o_l = jnp.stack([o_rel @ ax_x, o_rel @ ax_y, o_rel @ ax_z])
 
-        def dot3(axv):
-            return (
-                dirs[:, 0] * axv[0] + dirs[:, 1] * axv[1] + dirs[:, 2] * axv[2]
-            )
+            def dot3(axv):
+                return (
+                    dirs[:, 0] * axv[0] + dirs[:, 1] * axv[1]
+                    + dirs[:, 2] * axv[2]
+                )
 
-        d_l = jnp.stack([dot3(ax_x), dot3(ax_y), dot3(ax_z)], axis=1)  # (HW,3)
+            d_l = jnp.stack([dot3(ax_x), dot3(ax_y), dot3(ax_z)], axis=1)
 
-        half = jnp.stack([size[0] * 0.5, 0.0 * size[1], size[2] * 0.5])
-        lo = jnp.stack([-half[0], 0.0, -half[2]])
-        hi = jnp.stack([half[0], size[1], half[2]])
+            lo = jnp.stack([-size[0] * 0.5, 0.0, -size[2] * 0.5])
+            hi = jnp.stack([size[0] * 0.5, size[1], size[2] * 0.5])
 
-        safe_d = jnp.where(jnp.abs(d_l) < 1e-9, 1e-9, d_l)
-        t1 = (lo[None, :] - o_l[None, :]) / safe_d
-        t2 = (hi[None, :] - o_l[None, :]) / safe_d
-        t_lo = jnp.minimum(t1, t2)
-        t_hi = jnp.maximum(t1, t2)
-        t_in = jnp.max(t_lo, axis=1)
-        t_out = jnp.min(t_hi, axis=1)
-        box_hit = (t_in <= t_out) & (t_in > NEAR) & (t_in < FAR)
-        # Entry-slab normal WITHOUT per-pixel gathers (XLA/TPU gathers
-        # cost ~16 ns/element; arithmetic selects are ~free): one-hot
-        # over the 3 slabs contracted against the local axes.
-        slab_oh = (t_lo == t_in[:, None]).astype(jnp.float32)  # (HW,3)
-        slab_oh = slab_oh * (1.0 / jnp.maximum(
-            jnp.sum(slab_oh, axis=1, keepdims=True), 1.0))
-        sign = -jnp.sign(jnp.sum(slab_oh * d_l, axis=1))
-        axes_world = jnp.stack([ax_x, ax_y, ax_z])  # (3,3)
-        n_box = sign[:, None] * (slab_oh @ axes_world)
+            safe_d = jnp.where(jnp.abs(d_l) < 1e-9, 1e-9, d_l)
+            t1 = (lo[None, :] - o_l[None, :]) / safe_d
+            t2 = (hi[None, :] - o_l[None, :]) / safe_d
+            t_lo = jnp.minimum(t1, t2)
+            t_hi = jnp.maximum(t1, t2)
+            t_in = jnp.max(t_lo, axis=1)
+            t_out = jnp.min(t_hi, axis=1)
+            box_hit = (t_in <= t_out) & (t_in > NEAR) & (t_in < FAR)
+            # entry-slab normal via a one-hot over the 3 slabs (per-
+            # pixel gathers cost ~16 ns/element; selects are ~free)
+            slab_oh = (t_lo == t_in[:, None]).astype(jnp.float32)
+            slab_oh = slab_oh * (1.0 / jnp.maximum(
+                jnp.sum(slab_oh, axis=1, keepdims=True), 1.0))
+            sign = -jnp.sign(jnp.sum(slab_oh * d_l, axis=1))
+            axes_world = jnp.stack([ax_x, ax_y, ax_z])
+            n_box = sign[:, None] * (slab_oh @ axes_world)
+        else:
+            t_in = jnp.full(hw, jnp.inf, jnp.float32)
+            box_hit = jnp.zeros(hw, bool)
+            n_box = jnp.zeros((hw, 3), jnp.float32)
 
         is_sphere = shape == SHAPE_SPHERE
-        is_box = (shape == SHAPE_BOX) | (shape == SHAPE_MESH_BOX)
+        is_box = shape == SHAPE_BOX
         t_e = jnp.where(is_sphere, t_sph, t_in)
         hit_e = active & jnp.where(is_sphere, sph_hit, box_hit & is_box)
         n_e = jnp.where(is_sphere, n_sph, n_box)
-        col_e = color[None, :]
 
         closer = hit_e & (t_e < t_best)
         t_best = jnp.where(closer, t_e, t_best)
-        col_best = jnp.where(closer[:, None], col_e, col_best)
+        col_best = jnp.where(closer[:, None], color[None, :], col_best)
         n_best = jnp.where(closer[:, None], n_e, n_best)
         return (t_best, col_best, n_best), None
 
+    init = (
+        jnp.full(hw, jnp.inf, jnp.float32),
+        jnp.zeros((hw, 3), jnp.float32),
+        jnp.zeros((hw, 3), jnp.float32),
+    )
     (t_best, col_best, n_best), _ = jax.lax.scan(
-        body, (t0, c0, n0), jnp.arange(num_ents)
+        body, init, jnp.arange(num_ents)
     )
     return t_best, col_best, n_best
 
@@ -719,9 +724,12 @@ def render_rgbd(
         slot_override=state.tri_slots if tex["mode"] == "fourier" else None,
         chunk_sched=sched, init=seed,
     )
-    t_ent, col_ent, n_ent = _entity_pass(
-        bank, layout_id, state, origin, dirs, shapes_present
-    )
+    has_analytic = shapes_present[0] or shapes_present[1]
+    if has_analytic:
+        # analytic spheres/boxes compete after texture evaluation
+        t_ent, col_ent, n_ent = _entity_pass(
+            bank, layout_id, state, origin, dirs, shapes_present
+        )
 
     # UV from the affine texture map at the triangle hit point
     t_uv = jnp.where(jnp.isfinite(t_tri), t_tri, 0.0)
@@ -758,10 +766,13 @@ def render_rgbd(
     tri_color = attr[:, _COL] * texel
     tri_normal = attr[:, _NRM]
 
-    ent_wins = t_ent < t_tri
-    t_hit = jnp.where(ent_wins, t_ent, t_tri)
-    color = jnp.where(ent_wins[:, None], col_ent, tri_color)
-    normal = jnp.where(ent_wins[:, None], n_ent, tri_normal)
+    if has_analytic:
+        ent_wins = t_ent < t_tri
+        t_hit = jnp.where(ent_wins, t_ent, t_tri)
+        color = jnp.where(ent_wins[:, None], col_ent, tri_color)
+        normal = jnp.where(ent_wins[:, None], n_ent, tri_normal)
+    else:
+        t_hit, color, normal = t_tri, tri_color, tri_normal
 
     hit = jnp.isfinite(t_hit)
     t_safe = jnp.where(hit, t_hit, FAR)

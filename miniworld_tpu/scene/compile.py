@@ -456,7 +456,18 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
         room_area[i] = r.area
     room_mask = np.ones(R, dtype=bool)
 
+    from miniworld_tpu.scene import entities as ent_lib
     from miniworld_tpu.scene.entities import MESH_ROW_DIM
+
+    # Boxes join the mesh-entity pass (12 exact rows) when the world
+    # already pays for it — merged boxes measured ~15% faster there —
+    # and keep the analytic OBB branch in box-only scenes (measured
+    # ~10% faster without the row machinery); see box_proto.
+    if any(p.shape == ent_lib.SHAPE_MESH_TRIS for p in world.protos):
+        for p in world.protos:
+            if p.shape == ent_lib.SHAPE_BOX:
+                p.shape = ent_lib.SHAPE_MESH_TRIS
+                p.mesh_rows = ent_lib._box_rows(p.size)
 
     P = max(len(world.protos), 1)
     M = max([p.mesh_rows.shape[0] for p in world.protos

@@ -125,8 +125,47 @@ def mesh_scale_radius(mesh_name: str, height: float):
     return mesh, scale, radius
 
 
+def _box_rows(size) -> np.ndarray:
+    """12 packed local-space triangle rows for a box spanning
+    [-sx/2, sx/2] x [0, sy] x [-sz/2, sz/2] (drawBox extents,
+    entity.py:409-432), CCW-outward winding (the raycaster backface
+    culls), flat white color (the entity tint multiplies in at render
+    time), untextured."""
+    sx, sy, sz = [float(v) for v in size]
+    hx, hz = sx / 2, sz / 2
+    # (origin, u, v) per face; normal = u x v points outward
+    faces = [
+        ((hx, 0, hz), (0, 0, -sz), (0, sy, 0)),    # +x
+        ((-hx, 0, -hz), (0, 0, sz), (0, sy, 0)),   # -x
+        ((-hx, 0, hz), (sx, 0, 0), (0, sy, 0)),    # +z
+        ((hx, 0, -hz), (-sx, 0, 0), (0, sy, 0)),   # -z
+        ((-hx, sy, -hz), (0, 0, sz), (sx, 0, 0)),  # top
+        ((-hx, 0, -hz), (sx, 0, 0), (0, 0, sz)),   # bottom
+    ]
+    rows = np.zeros((12, MESH_ROW_DIM), dtype=np.float32)
+    for f, (p, u, v) in enumerate(faces):
+        p, u, v = np.asarray(p), np.asarray(u), np.asarray(v)
+        quad = [p, p + u, p + u + v, p + v]
+        n = np.cross(u, v)
+        n = n / np.linalg.norm(n)
+        for t, idx in enumerate(((0, 1, 2), (0, 2, 3))):
+            r = rows[2 * f + t]
+            r[0:9] = np.concatenate([quad[i] for i in idx])
+            r[17:20] = n
+            r[20:23] = 1.0
+            r[23] = -1.0  # untextured
+            r[24] = 1.0
+    return rows
+
+
 def box_proto(color: str, size=0.8) -> Proto:
-    """Colored box (miniworld/entity.py:386-432)."""
+    """Colored box (miniworld/entity.py:386-432).
+
+    Default shape is the analytic OBB; scene compilation converts box
+    protos to 12 mesh rows (SHAPE_MESH_TRIS, via ``_box_rows``) when
+    the world already runs the mesh-entity pass — merged boxes are
+    ~15%% faster there, while box-only scenes keep the cheaper
+    analytic branch (measured both ways on v5e; PERF.md round 2)."""
     if isinstance(size, (int, float)):
         size = np.array([size, size, size], dtype=np.float64)
     size = np.asarray(size, dtype=np.float64)
