@@ -31,6 +31,41 @@ from miniworld_tpu.utils.assets import texture_variant_paths
 # instances like the reference's Texture.tex_cache (opengl.py:142-145)
 _CATALOG = TextureCatalog()
 
+# Jitted single-env render programs, keyed by (width, height, depth).
+# Eager per-op dispatch measured ~1 s/frame on CPU; the jitted program
+# runs in a few ms. Layout/state shapes are BUCKETED (_bucket_sizes)
+# so procedural env classes (Maze rebuilds a differently-sized world
+# every reset) hit a handful of compiled programs instead of
+# retracing per episode.
+_RENDER_JIT = {}
+_ATLAS_CACHE = {}
+
+
+def _jitted_render(width: int, height: int, depth: bool):
+    key = (width, height, depth)
+    if key not in _RENDER_JIT:
+        import jax
+
+        from miniworld_tpu.render.raycast import render_rgbd
+
+        def f(bank, atlas, state):
+            return render_rgbd(
+                bank, state, {"mode": "nearest", "atlas": atlas},
+                width=width, height=height, with_depth=depth,
+            )
+
+        _RENDER_JIT[key] = jax.jit(f)
+    return _RENDER_JIT[key]
+
+
+def _bucket(n: int, q: int) -> int:
+    return max(((n + q - 1) // q) * q, q)
+
+
+def _bucket_sizes(sizes: dict) -> dict:
+    quanta = dict(S=64, W=32, NS=16, R=8, V=4, P=4, M=8, E=4, C=2, T=8)
+    return {k: _bucket(v, quanta.get(k, 1)) for k, v in sizes.items()}
+
 
 def intersect_circle_segs(point, radius, segs) -> bool:
     """Float64 transcription of miniworld/math.py:30-62."""
@@ -405,8 +440,14 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
 
         if self._render_cache is None:
             lay = compile_world(self.world)
+            # bucket shapes so the jitted render program is reused
+            # across resets (and across procedural layout sizes)
+            lay = lay.pad_to(_bucket_sizes(lay.sizes))
             bank = jax.tree.map(lambda x: jnp.asarray(x)[None], lay)
-            atlas = jnp.asarray(_CATALOG.build_atlas())
+            akey = len(_CATALOG.paths)
+            if akey not in _ATLAS_CACHE:
+                _ATLAS_CACHE[akey] = jnp.asarray(_CATALOG.build_atlas())
+            atlas = _ATLAS_CACHE[akey]
             self._render_cache = (bank, atlas)
         bank, atlas = self._render_cache
         # per-tri atlas index from the eager (reference-rng) variant
@@ -418,7 +459,7 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
             tm_np[np.clip(tri_tex_np, 0, len(tm_np) - 1)],
             -1,
         ).astype(np.float32)
-        E = max(len(self.entities), 1)
+        E = _bucket(len(self.entities), 4)  # stable jit shapes
         ent_pos = np.zeros((E, 3), np.float32)
         ent_dir = np.zeros(E, np.float32)
         ent_alive = np.zeros(E, bool)
@@ -471,12 +512,9 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
                     (self.obs_height, self.obs_width, 1), np.float32
                 )
             return rgb
-        from miniworld_tpu.render.raycast import render_rgbd
-
         bank, atlas, state = self._build_render_state()
-        rgb, d = render_rgbd(
-            bank, state, {"mode": "nearest", "atlas": atlas},
-            width=self.obs_width, height=self.obs_height, with_depth=depth,
+        rgb, d = _jitted_render(self.obs_width, self.obs_height, depth)(
+            bank, atlas, state
         )
         rgb = np.asarray(rgb)
         rgb = np.asarray(self.spec_def.host_post_render(rgb, self))

@@ -20,6 +20,11 @@ import time
 
 
 def bench_single(args):
+    # single-env stepping measures the host adapter on CPU — per-step
+    # renders through a remote-TPU tunnel stall on round-trip latency
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     t0 = time.perf_counter()
     from miniworld_tpu.gym_env import MiniWorldGym
 

@@ -33,7 +33,16 @@ def main():
                    help="scripted random policy, no display")
     p.add_argument("--steps", type=int, default=1000,
                    help="steps for --headless mode")
+    p.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                   help="single-env interactive stepping defaults to "
+                        "the CPU backend: per-step renders through a "
+                        "remote-TPU tunnel stall on round-trip latency")
     args = p.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from miniworld_tpu.gym_env import MiniWorldGym
 
