@@ -528,14 +528,29 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
 
     def render_top_view(self, width: int | None = None, height: int | None = None):
         """Orthographic top-down map view (miniworld.py:1171-1258)."""
-        from miniworld_tpu.render.topview import render_top_view
+        import jax
+        import jax.numpy as jnp
 
+        w = width or self.obs_width
+        h = height or self.obs_height
+        key = ("topview", w, h)
+        if key not in _RENDER_JIT:
+            from miniworld_tpu.render.topview import render_top_view
+
+            def f(bank, atlas, state, extents, agent_radius):
+                return render_top_view(
+                    bank, state, {"mode": "nearest", "atlas": atlas},
+                    width=w, height=h,
+                    extents=extents, agent_radius=agent_radius,
+                )
+
+            _RENDER_JIT[key] = jax.jit(f)
         bank, atlas, state = self._build_render_state()
-        return np.asarray(render_top_view(
-            bank, state, {"mode": "nearest", "atlas": atlas},
-            width=width or self.obs_width, height=height or self.obs_height,
-            extents=(self.min_x, self.max_x, self.min_z, self.max_z),
-            agent_radius=self.agent_radius,
+        return np.asarray(_RENDER_JIT[key](
+            bank, atlas, state,
+            jnp.asarray([self.min_x, self.max_x, self.min_z, self.max_z],
+                        jnp.float32),
+            jnp.float32(self.agent_radius),
         ))
 
     def set_discrete_actions(self, actions=None):
