@@ -6,4 +6,7 @@ from miniworld_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_env_batch,
 )
-from miniworld_tpu.parallel.train import make_train_step  # noqa: F401
+from miniworld_tpu.parallel.train import (  # noqa: F401
+    make_ppo_step,
+    make_train_step,
+)

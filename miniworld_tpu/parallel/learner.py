@@ -135,3 +135,48 @@ def grad_step(params, opt, rgb, depth, actions, returns, *, lr: float = 3e-4,
         loss = jax.lax.pmean(loss, axis_name)
     params, opt = adam_update(params, grads, opt, lr=lr)
     return params, opt, loss
+
+
+def ppo_loss(params, rgb, depth, actions, old_logp, adv, returns, *,
+             clip_eps: float = 0.2, vf_coef: float = 0.5,
+             ent_coef: float = 0.01):
+    """Clipped-surrogate PPO loss (Schulman et al. 2017) on one
+    minibatch of transitions.
+
+    ``old_logp`` is the behavior policy's log-prob of ``actions`` and
+    ``adv`` the (normalized) GAE advantage — both stop-gradiented by
+    the caller. Returns (loss, aux) with ``approx_kl`` (the simple
+    E[old_logp - logp] estimator) and ``clip_frac`` diagnostics.
+    """
+    logits, value = forward(params, rgb, depth)
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
+    ratio = jnp.exp(logp - old_logp)
+    clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+    pg = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+    vf = 0.5 * jnp.mean((returns - value) ** 2)
+    ent = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=1))
+    aux = {
+        "approx_kl": jnp.mean(old_logp - logp),
+        "clip_frac": jnp.mean((jnp.abs(ratio - 1.0) > clip_eps).astype(
+            jnp.float32)),
+    }
+    return pg + vf_coef * vf - ent_coef * ent, aux
+
+
+def ppo_grad_step(params, opt, rgb, depth, actions, old_logp, adv, returns,
+                  *, lr: float = 3e-4, clip_eps: float = 0.2,
+                  vf_coef: float = 0.5, ent_coef: float = 0.01,
+                  axis_name: str | None = DATA_AXIS):
+    """One PPO Adam step on a minibatch; grads/diagnostics
+    pmean-reduced over the mesh axis when set."""
+    (loss, aux), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
+        params, rgb, depth, actions, old_logp, adv, returns,
+        clip_eps=clip_eps, vf_coef=vf_coef, ent_coef=ent_coef,
+    )
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        aux = jax.lax.pmean(aux, axis_name)
+    params, opt = adam_update(params, grads, opt, lr=lr)
+    return params, opt, loss, aux

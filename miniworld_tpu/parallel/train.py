@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from miniworld_tpu.parallel import learner as L
@@ -47,6 +47,47 @@ def discounted_returns(rewards, dones, bootstrap, gamma: float):
     return returns
 
 
+def gae(rewards, dones, values, bootstrap, gamma: float, lam: float):
+    """Generalized advantage estimation over a rollout.
+
+    (T, B) rewards/dones/values + (B,) bootstrap value of the
+    post-rollout observation -> (T, B) advantages.
+
+        delta_t = r_t + gamma * (1 - done_t) * V_{t+1} - V_t
+        A_t     = delta_t + gamma * lam * (1 - done_t) * A_{t+1}
+
+    done cuts both terms because auto-reset makes ``obs_{t+1}`` the
+    first observation of a new episode.
+    """
+
+    def back(carry, x):
+        adv_next, v_next = carry
+        r, d, v = x
+        nonterm = 1.0 - d.astype(jnp.float32)
+        delta = r + gamma * nonterm * v_next - v
+        adv = delta + gamma * lam * nonterm * adv_next
+        return (adv, v), adv
+
+    _, advs = jax.lax.scan(
+        back, (jnp.zeros_like(bootstrap), bootstrap),
+        (rewards, dones, values), reverse=True,
+    )
+    return advs
+
+
+def _policy_num_actions(env, who: str) -> int:
+    if env._action_table is not None:
+        return env._action_table.shape[0]
+    if getattr(env.spec, "num_actions", 0):
+        return env.spec.num_actions
+    raise ValueError(
+        f"{env.spec.name}: {who} needs a discrete action "
+        "space (a discrete_actions table or spec.num_actions); the "
+        "categorical policy head cannot drive continuous Box(6) "
+        "actions — add a Gaussian head or set_discrete_actions."
+    )
+
+
 def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
                     gamma: float = 0.99):
     """Build ``train_step(bank, atlas, tstate, state, obs, depth, key)``.
@@ -58,17 +99,7 @@ def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
     """
     n_dev = mesh.devices.size
     assert env.num_envs % n_dev == 0, (env.num_envs, n_dev)
-    if env._action_table is not None:
-        num_actions = env._action_table.shape[0]
-    elif getattr(env.spec, "num_actions", 0):
-        num_actions = env.spec.num_actions
-    else:
-        raise ValueError(
-            f"{env.spec.name}: make_train_step needs a discrete action "
-            "space (a discrete_actions table or spec.num_actions); the "
-            "categorical policy head cannot drive continuous Box(6) "
-            "actions — add a Gaussian head or set_discrete_actions."
-        )
+    num_actions = _policy_num_actions(env, "make_train_step")
 
     def policy_factory(params):
         def policy(obs, depth, key):
@@ -120,9 +151,18 @@ def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
         in_specs=(pspec_rep, pspec_rep, pspec_rep, pspec_env, pspec_env,
                   pspec_env, pspec_rep),
         out_specs=(pspec_rep, pspec_env, pspec_env, pspec_env, pspec_rep),
-        check_rep=False,
+        check_vma=False,
     )
     train_jit = jax.jit(train)
+
+    def step(tstate, state, obs, depth, key):
+        return train_jit(env._bank, env._atlas, tstate, state, obs, depth, key)
+
+    return step, _make_init(env, num_actions)
+
+
+def _make_init(env, num_actions: int):
+    """``init(key) -> (tstate, state, obs, depth)`` for a fresh run."""
 
     def init(key):
         k_env, k_par = jax.random.split(key)
@@ -135,7 +175,150 @@ def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
         tstate = {"params": params, "opt": L.adam_init(params)}
         return tstate, state, obs, depth
 
+    return init
+
+
+def make_ppo_step(env, mesh, horizon: int = 16, lr: float = 3e-4,
+                  gamma: float = 0.99, lam: float = 0.95,
+                  clip_eps: float = 0.2, epochs: int = 2,
+                  minibatches: int = 4, vf_coef: float = 0.5,
+                  ent_coef: float = 0.01):
+    """Build a sharded PPO train step (same calling shape as
+    ``make_train_step``).
+
+    Per call: one on-device rollout of ``horizon`` steps with the
+    current policy, then ``epochs`` passes of ``minibatches`` clipped-
+    surrogate updates over the T*B transition set, all inside ONE jitted
+    shard_map program (rollout, GAE, and every minibatch update run on
+    device; gradients pmean over the mesh per minibatch).
+
+    TPU-conscious deviation from the textbook shuffle: minibatches are
+    CONTIGUOUS slices of the time-major (T*B) transition set, with a
+    random rotation (``jnp.roll``) per epoch. A true per-epoch
+    permutation would row-gather the whole observation stack
+    (~16 ns/element on TPU — seconds per epoch at training scale); the
+    roll is two dynamic slices and still varies minibatch composition
+    across epochs. Transitions within a slice come from many different
+    envs (B-major inner order), so minibatches are already decorrelated
+    across episodes.
+    """
+    n_dev = mesh.devices.size
+    assert env.num_envs % n_dev == 0, (env.num_envs, n_dev)
+    num_actions = _policy_num_actions(env, "make_ppo_step")
+    b_loc = env.num_envs // n_dev
+    n_loc = horizon * b_loc
+    assert n_loc % minibatches == 0, (n_loc, minibatches)
+    mb = n_loc // minibatches
+
+    def policy_factory(params):
+        def policy(obs, depth, key):
+            rgb = jax.tree.leaves(obs)[0]
+            logits, _ = L.forward(params, rgb, depth)
+            return jax.random.categorical(key, logits)
+        return policy
+
+    def local_train(bank, atlas, tstate, state, obs, depth, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        k_roll, k_sgd = jax.random.split(key)
+        params = tstate["params"]
+        rollout = env.rollout_fn(horizon, policy=policy_factory(params),
+                                 return_obs=True, return_actions=True)
+        state, obs, depth, outs = rollout(
+            bank, atlas, state, obs, depth, k_roll
+        )
+
+        rgb_t = jax.tree.leaves(outs["obs"])[0]  # (T, B, H, W, 3)
+        T, B = rgb_t.shape[0], rgb_t.shape[1]
+        dep_t = outs.get(
+            "depth", jnp.zeros(rgb_t.shape[:4] + (1,), jnp.float32)
+        )
+        flat_rgb = rgb_t.reshape(T * B, *rgb_t.shape[2:])
+        flat_dep = dep_t.reshape(T * B, *dep_t.shape[2:])
+        actions = outs["actions"].reshape(T * B).astype(jnp.int32)
+
+        # Behavior-policy stats under the PRE-update params: log-prob of
+        # the taken actions and V(obs_t) in one batched forward (the
+        # rollout doesn't record them; recomputing costs one extra
+        # forward and keeps the rollout output contract unchanged).
+        old_logits, values = L.forward(params, flat_rgb, flat_dep)
+        old_logp_all = jax.nn.log_softmax(old_logits)
+        old_logp = jnp.take_along_axis(
+            old_logp_all, actions[:, None], axis=1
+        )[:, 0]
+        _, v_boot = L.forward(params, jax.tree.leaves(obs)[0], depth)
+        adv = gae(
+            outs["rewards"], outs["done_mask"], values.reshape(T, B),
+            v_boot, gamma, lam,
+        )
+        returns = adv + values.reshape(T, B)
+        adv = adv.reshape(T * B)
+        # advantage normalization with GLOBAL (cross-chip) moments so
+        # every shard optimizes the same objective
+        g_mean = jax.lax.pmean(adv.mean(), DATA_AXIS)
+        g_sq = jax.lax.pmean(jnp.mean(adv * adv), DATA_AXIS)
+        g_var = jnp.maximum(g_sq - g_mean * g_mean, 0.0)
+        adv = (adv - g_mean) * jax.lax.rsqrt(g_var + 1e-8)
+
+        data = jax.tree.map(
+            jax.lax.stop_gradient,
+            (flat_rgb, flat_dep, actions, old_logp, adv,
+             returns.reshape(T * B)),
+        )
+
+        def epoch_body(carry, k_e):
+            params, opt = carry
+            off = jax.random.randint(k_e, (), 0, n_loc)
+            rolled = jax.tree.map(
+                lambda x: jnp.roll(x, off, axis=0), data
+            )
+
+            def mb_body(carry, i):
+                params, opt = carry
+                sl = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, i * mb, mb, axis=0
+                    ),
+                    rolled,
+                )
+                params, opt, loss, aux = L.ppo_grad_step(
+                    params, opt, *sl, lr=lr, clip_eps=clip_eps,
+                    vf_coef=vf_coef, ent_coef=ent_coef,
+                    axis_name=DATA_AXIS,
+                )
+                return (params, opt), (loss, aux)
+
+            (params, opt), out = jax.lax.scan(
+                mb_body, (params, opt),
+                jnp.arange(minibatches, dtype=jnp.int32),
+            )
+            return (params, opt), out
+
+        (params, opt), (losses, auxs) = jax.lax.scan(
+            epoch_body, (params, tstate["opt"]),
+            jax.random.split(k_sgd, epochs),
+        )
+        metrics = {
+            "loss": losses.mean(),
+            "approx_kl": auxs["approx_kl"].mean(),
+            "clip_frac": auxs["clip_frac"].mean(),
+            "reward": jax.lax.psum(outs["reward"].sum(), DATA_AXIS),
+            "dones": jax.lax.psum(outs["dones"].sum(), DATA_AXIS),
+            "return_mean": jax.lax.pmean(returns.mean(), DATA_AXIS),
+        }
+        return {"params": params, "opt": opt}, state, obs, depth, metrics
+
+    pspec_env = P(DATA_AXIS)
+    pspec_rep = P()
+    train = shard_map(
+        local_train, mesh=mesh,
+        in_specs=(pspec_rep, pspec_rep, pspec_rep, pspec_env, pspec_env,
+                  pspec_env, pspec_rep),
+        out_specs=(pspec_rep, pspec_env, pspec_env, pspec_env, pspec_rep),
+        check_vma=False,
+    )
+    train_jit = jax.jit(train)
+
     def step(tstate, state, obs, depth, key):
         return train_jit(env._bank, env._atlas, tstate, state, obs, depth, key)
 
-    return step, init
+    return step, _make_init(env, num_actions)
