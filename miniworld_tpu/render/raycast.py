@@ -66,9 +66,6 @@ GL_GLOBAL_AMBIENT = 0.2
 ATTR_DIM = 16
 _AMAP, _BMAP = slice(0, 6), slice(6, 8)
 _NRM, _COL, _SLOT, _ONE = slice(8, 11), slice(11, 14), 14, 15
-# chunk-vertex read path: component-major tri_verts9 rows (True) vs
-# (TC, 3, 3) slices of tri_verts; perf experiment toggle
-_USE_VERTS9 = True
 
 
 def camera_rays(state, width: int, height: int):
@@ -165,27 +162,20 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
     else:
         slot_rows = None
 
-    def body(carry, c):
-        # barrier: XLA:TPU otherwise fuses/remats iterations of this
-        # scan into one (B, HW, S) buffer — 22 GB for an 8x8 maze
-        carry = jax.lax.optimization_barrier(carry)
-        t_best, attr_best = carry
+    def read_chunk(c):
+        """(v9 (9, TC), attrs (TC, ATTR_DIM)) for chunk index c.
+
+        No mask read: padding triangles are all-zero by construction,
+        so det == 0 and they can never hit (the per-chunk mask slice
+        measured 4 ms/step on maze for pure redundancy).
+        """
         start = c * tri_chunk
-        if _USE_VERTS9:
-            v9 = jax.lax.dynamic_slice(
-                bank.tri_verts9, (layout_id, 0, start), (1, 9, tri_chunk)
-            )[0]  # (9, TC) component-major
-        else:
-            v9 = jax.lax.dynamic_slice(
-                bank.tri_verts, (layout_id, start, 0, 0),
-                (1, tri_chunk, 3, 3),
-            )[0].reshape(tri_chunk, 9).T
+        v9 = jax.lax.dynamic_slice(
+            bank.tri_verts9, (layout_id, 0, start), (1, 9, tri_chunk)
+        )[0]  # (9, TC) component-major
         attrs = jax.lax.dynamic_slice(
             bank.tri_attr, (layout_id, start, 0), (1, tri_chunk, ATTR_DIM)
         )[0]
-        # no mask read: padding triangles are all-zero by construction,
-        # so det == 0 and they can never hit (the per-chunk mask slice
-        # measured 4 ms/step on maze for pure redundancy)
         if slot_rows is not None:
             ov = slot_rows[jnp.minimum(c, n_chunks - 1)]
             attrs = jnp.concatenate(
@@ -197,6 +187,14 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
             attrs = jnp.concatenate(
                 [attrs[:, :_SLOT], ov[:, None], attrs[:, _SLOT + 1:]], axis=1
             )
+        return v9, attrs
+
+    def body(carry, x):
+        # barrier: XLA:TPU otherwise fuses/remats iterations of this
+        # scan into one (B, HW, S) buffer — 22 GB for an 8x8 maze
+        carry = jax.lax.optimization_barrier(carry)
+        t_best, attr_best = carry
+        v9, attrs = x
 
         # all-lane component math on (TC,) rows (v9 is component-major)
         e1x, e1y, e1z = v9[3] - v9[0], v9[4] - v9[1], v9[5] - v9[2]
@@ -276,7 +274,12 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
             jnp.full(hw, jnp.inf, jnp.float32),
             jnp.zeros((hw, ATTR_DIM), jnp.float32),
         )
-    xs = jnp.arange(n_chunks, dtype=jnp.int32) if chunk_sched is None else chunk_sched
+    # Chunk data is gathered BEFORE the scan (vmapped read_chunk) and
+    # fed as scan xs: the scan then unstacks plain slices instead of
+    # issuing per-iteration dynamic slices whose scalar offsets stall
+    # the pipeline (~7 ms/step of s32 slice chains on maze).
+    cs = jnp.arange(n_chunks, dtype=jnp.int32) if chunk_sched is None else chunk_sched
+    xs = jax.vmap(read_chunk)(cs)
     (t_best, attr_best), _ = jax.lax.scan(body, init, xs)
     attr_best = attr_best / jnp.maximum(attr_best[:, _ONE:_ONE + 1], 1.0)
     return t_best, attr_best
