@@ -81,6 +81,12 @@ class EnvSpec:
     # Agent bounding radius (RoomObjects overrides to 1.5,
     # roomobjects.py:67; otherwise entity.py:470)
     agent_radius: float = 0.4
+    # Fourier texture-table terms for this env class; 0 = the global
+    # default (textures.FOURIER_TERMS). Glyph-bearing envs (Sign) raise
+    # it: K=32 cannot carry legible handwritten strokes even as an SDF
+    # (~64 real DOF), K=64 renders readable letters. The cost is paid
+    # only by env classes that opt in.
+    fourier_k: int = 0
 
     @property
     def max_forward_step(self) -> float:

@@ -292,6 +292,8 @@ class Sign(EnvSpec):
     color_index: int = 0
     num_layouts: int = 3
     dict_obs: bool = True
+    # the sign text must be readable: SDF glyphs need K=64 (base.py)
+    fourier_k: int = 64
     end_action_index: int = 3
     discrete_actions: np.ndarray = field(
         default_factory=lambda: np.stack(

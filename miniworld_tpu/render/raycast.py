@@ -363,11 +363,14 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
         ],
         axis=1,
     )
-    # Per-texture contrast expansion (glyph legibility): near-binary
-    # textures carry gain > 1 in their trailing coefficient column;
-    # expanding the soft K-term reconstruction away from its mean (dc)
-    # recovers readable strokes. gain == 1 leaves pixels untouched.
-    # ``has_gain`` is a static flag (any table row with gain > 1) so
+    # Per-texture glyph handling, keyed on the trailing coefficient:
+    #   gain < 0  -> Fourier-SDF glyph (textures.fit_sdf_texture): the
+    #     channel contraction above produced [sdf | ink | bg] per
+    #     pixel; threshold the reconstructed signed distance with edge
+    #     half-width w = -1/(2*gain) for binary-crisp strokes.
+    #   gain > 1  -> legacy contrast expansion away from dc.
+    #   gain == 1 -> identity (all non-glyph textures).
+    # ``has_gain`` is a static flag (any glyph row in the table) so
     # glyph-free env classes skip the extra contraction entirely.
     if has_gain:
         dcg = jax.lax.dot_general(
@@ -379,6 +382,9 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
             preferred_element_type=jnp.float32,
         )  # (HW, 4): [dc rgb | gain]
         gain = dcg[:, 3:4]
+        s = jnp.clip(0.5 - texel[:, 0:1] * gain, 0.0, 1.0)
+        sdf_texel = texel[:, 1:2] + (texel[:, 2:3] - texel[:, 1:2]) * s
+        texel = jnp.where(gain < 0.0, sdf_texel, texel)
         texel = jnp.where(
             gain > 1.0, dcg[:, 0:3] + (texel - dcg[:, 0:3]) * gain, texel
         )

@@ -63,8 +63,14 @@ def _hash01(key: jax.Array, ids: jax.Array) -> jax.Array:
 
 
 def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
-               fourier_k: int = FOURIER_TERMS):
-    """Compile the spec's layout bank + texture tables (host side)."""
+               fourier_k: int | None = None):
+    """Compile the spec's layout bank + texture tables (host side).
+
+    ``fourier_k=None`` resolves to the spec's ``fourier_k`` (glyph envs
+    raise it for legibility) or the global FOURIER_TERMS default.
+    """
+    if fourier_k is None:
+        fourier_k = getattr(spec, "fourier_k", 0) or FOURIER_TERMS
     catalog = TextureCatalog()
     layouts = []
     seeds = np.random.SeedSequence(bank_seed).spawn(spec.num_layouts)
@@ -220,7 +226,7 @@ class MiniWorldVec:
         with_depth: bool = True,
         place_budget: int = 16,
         tex_mode: str = "fourier",
-        fourier_k: int = FOURIER_TERMS,
+        fourier_k: int | None = None,
         render_backend: str = "auto",
         supersample: int = 1,
     ):
@@ -266,6 +272,8 @@ class MiniWorldVec:
 
         assert tex_mode in ("fourier", "nearest"), tex_mode
         self.tex_mode = tex_mode
+        if fourier_k is None:  # spec override, else global default
+            fourier_k = getattr(spec, "fourier_k", 0) or FOURIER_TERMS
         self.fourier_k = fourier_k
         # The XLA raycaster is the default everywhere: the experimental
         # fused Pallas kernel (render/pallas_kernel2.py) is currently
@@ -303,10 +311,12 @@ class MiniWorldVec:
         # "atlas" carries whichever texture table the mode needs:
         # fourier -> (N, 3+8K) coefficients; nearest -> (N,R,R,3) u8.
         self._atlas = jnp.asarray(tex_np)
-        # static: does any texture carry a glyph contrast gain? (skips
-        # the per-pixel gain contraction for glyph-free env classes)
+        # static: does any texture carry a glyph marker (SDF mode,
+        # gain < 0, or a legacy contrast gain > 1)? Skips the per-pixel
+        # glyph contraction for glyph-free env classes.
         self._tex_has_gain = bool(
-            tex_mode == "fourier" and (tex_np[:, -1] > 1.0).any()
+            tex_mode == "fourier"
+            and ((tex_np[:, -1] > 1.0) | (tex_np[:, -1] < 0.0)).any()
         )
 
         self.num_layouts = bank_np.tri_verts.shape[0]
