@@ -12,6 +12,8 @@ mesh, annotate shardings, let XLA insert collectives.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -29,13 +31,29 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def init_multihost():
-    """Initialize the multi-host process group (no-op when single)."""
+    """Initialize the multi-host process group (no-op when single).
+
+    Fail-fast contract (SURVEY.md §5): when the environment says this
+    IS a multi-host launch (a coordinator address is configured), an
+    initialization failure raises immediately instead of silently
+    degrading to a single-host run that would train on a fraction of
+    the batch. Only the unconfigured single-process case falls through.
+    """
     if jax.process_count() > 1:
         return  # already initialized by the launcher
+    configured = any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
     try:
         jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        pass  # single-process run
+    except Exception as e:
+        if configured:
+            raise RuntimeError(
+                "multi-host init failed with a coordinator configured "
+                f"(fail-fast, refusing single-host fallback): {e}"
+            ) from e
+        # no cluster configured: normal single-process run
 
 
 def env_sharding(mesh: Mesh) -> NamedSharding:

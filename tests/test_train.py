@@ -104,3 +104,23 @@ def test_gae_matches_direct_recursion():
         acc = delta[t] + gamma * lam * nonterm[t] * acc
         want[t] = acc
     np.testing.assert_allclose(adv, want, rtol=1e-5, atol=1e-6)
+
+
+def test_multihost_init_fail_fast(monkeypatch):
+    """Failure injection (SURVEY.md §5): with a coordinator address
+    configured, a distributed-init error must RAISE, not degrade to a
+    silent single-host run; without one, the single-process fallback
+    stays quiet."""
+    from miniworld_tpu.parallel import mesh as pmesh
+
+    def boom():
+        raise RuntimeError("injected: coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    with pytest.raises(RuntimeError, match="fail-fast"):
+        pmesh.init_multihost()
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    pmesh.init_multihost()  # must not raise
