@@ -123,9 +123,15 @@ def chunk_schedule(bank, chunk_vis, layout_id, origin, sched_len: int):
     return jax.lax.sort(keys)[:sched_len]
 
 
-def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
-              slot_override=None, chunk_sched=None, init=None):
+def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
+              tri_chunk: int, slot_override=None, chunk_sched=None,
+              init=None):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
+
+    ``verts9_bank`` (L, 9, S) and ``attr_bank`` (L, S, ATTR_DIM) are the
+    triangle source — either the plain bank arrays or the packed
+    per-room PVS copies (vector.plan_packed_pvs); the pass itself is
+    agnostic.
 
     The winning triangle's packed attributes are resolved in-chunk via
     a one-hot matmul, so no per-pixel index survives the scan — and no
@@ -153,7 +159,7 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
     ``tri_verts9`` rows — both avoid the tiny-inner-dim relayout
     copies the (TC, 3, 3) gathers forced (~9 ms/step on maze).
     """
-    num_tris = bank.tri_verts.shape[-3]
+    num_tris = verts9_bank.shape[-1]
     tri_chunk = min(tri_chunk, num_tris)
     n_chunks = -(-num_tris // tri_chunk)
     hw = dirs.shape[0]
@@ -171,10 +177,10 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
         """
         start = c * tri_chunk
         v9 = jax.lax.dynamic_slice(
-            bank.tri_verts9, (layout_id, 0, start), (1, 9, tri_chunk)
+            verts9_bank, (layout_id, 0, start), (1, 9, tri_chunk)
         )[0]  # (9, TC) component-major
         attrs = jax.lax.dynamic_slice(
-            bank.tri_attr, (layout_id, start, 0), (1, tri_chunk, ATTR_DIM)
+            attr_bank, (layout_id, start, 0), (1, tri_chunk, ATTR_DIM)
         )[0]
         if slot_rows is not None:
             ov = slot_rows[jnp.minimum(c, n_chunks - 1)]
@@ -263,10 +269,21 @@ def _tri_pass(bank, layout_id, origin, dirs, tri_chunk: int,
             preferred_element_type=jnp.float32,
         )  # (HW, 16)
 
+        # Exact cross-chunk ties ACCUMULATE into the carry (normalized
+        # once after the scan), matching the in-chunk tie behavior and
+        # making the result invariant to how triangles are partitioned
+        # into chunks — required for packed-PVS banks, whose chunk
+        # boundaries differ from the plain bank's, and harmless for
+        # sentinel-repeated chunks (averaging identical attrs is a
+        # no-op). A no-hit chunk ties at inf with sel == 0.
         closer = t_min < t_best
+        tie = t_min == t_best
         return (
             jnp.where(closer, t_min, t_best),
-            jnp.where(closer[:, None], sel, attr_best),
+            jnp.where(
+                closer[:, None], sel,
+                attr_best + jnp.where(tie[:, None], sel, 0.0),
+            ),
         ), None
 
     if init is None:
@@ -685,6 +702,7 @@ def render_rgbd(
     shapes_present=(True, True, True),
     chunk_vis=None,
     sched_len: int | None = None,
+    pvs_packed: bool = False,
     supersample: int = 1,
 ):
     """Render one env's observation. Returns (rgb u8 (H,W,3), depth (H,W,1)).
@@ -698,6 +716,13 @@ def render_rgbd(
     ``chunk_vis`` ((L, n_chunks, R) bool) + ``sched_len`` enable PVS
     chunk culling (the vector layer precomputes both; rendering stays
     pixel-identical — only provably-invisible chunks are skipped).
+
+    ``pvs_packed=True`` + ``sched_len`` instead reads the bank's packed
+    per-room PVS copies (bank.pvs_verts9/pvs_attr, built by
+    vector.plan_packed_pvs): the schedule is simply the camera room's
+    contiguous chunk range — each env scans exactly its own visible
+    set, with no bin-packing slack. ``state.tri_slots`` must then be in
+    packed index space (reset computes it from the packed tables).
 
     ``supersample=2`` renders a 2x2 ordered grid per pixel and
     box-filters the shaded color down — the edge-anti-aliasing analog
@@ -716,7 +741,11 @@ def render_rgbd(
     dirs = camera_rays(state, width, height)  # (HW,3)
 
     sched = None
-    if chunk_vis is not None:
+    if pvs_packed:
+        room = room_of_point(bank, layout_id, origin[jnp.array([0, 2])])
+        base = bank.pvs_room_base[layout_id, room]
+        sched = base + jnp.arange(sched_len, dtype=jnp.int32)
+    elif chunk_vis is not None:
         sched = chunk_schedule(bank, chunk_vis, layout_id, origin, sched_len)
     seed = None
     if shapes_present[2]:
@@ -728,8 +757,10 @@ def render_rgbd(
             bank, layout_id, state, origin, dirs,
             fourier=tex["mode"] == "fourier",
         )
+    v9_bank = bank.pvs_verts9 if pvs_packed else bank.tri_verts9
+    at_bank = bank.pvs_attr if pvs_packed else bank.tri_attr
     t_tri, attr = _tri_pass(
-        bank, layout_id, origin, dirs, tri_chunk,
+        v9_bank, at_bank, layout_id, origin, dirs, tri_chunk,
         slot_override=state.tri_slots if tex["mode"] == "fourier" else None,
         chunk_sched=sched, init=seed,
     )

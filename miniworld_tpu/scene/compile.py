@@ -174,6 +174,17 @@ class Layout:
     tex_slot_count: np.ndarray  # (T,) i32
     # misc
     extents: np.ndarray  # (4,) f32 floorplan min_x,max_x,min_z,max_z
+    # Packed per-room PVS copies (vector.plan_packed_pvs; None unless
+    # that planner wins): each room's potentially-visible triangles
+    # stored contiguously (duplicated across rooms) so the render scan
+    # visits exactly ceil(|PVS(room)|/chunk) chunks. Built AFTER
+    # stacking — per-layout pad_to never sees these.
+    pvs_verts9: np.ndarray | None = None  # (L,9,S2) f32
+    pvs_attr: np.ndarray | None = None  # (L,S2,ATTR_DIM) f32
+    pvs_tri_tex: np.ndarray | None = None  # (L,S2) i32
+    pvs_tri_tex_base: np.ndarray | None = None  # (L,S2) f32
+    pvs_tri_tex_count: np.ndarray | None = None  # (L,S2) f32
+    pvs_room_base: np.ndarray | None = None  # (L,R) i32 chunk base per room
 
     def pad_to(self, sizes: dict) -> "Layout":
         """Pad all leading dims to the given sizes (keys: S,W,R,V,P,E,C,T)."""
@@ -274,7 +285,8 @@ def stack_layouts(layouts, align: int = 8):
     padded = [lay.pad_to(sizes) for lay in layouts]
     out = {}
     for f in fields(Layout):
-        out[f.name] = np.stack([getattr(p, f.name) for p in padded])
+        vals = [getattr(p, f.name) for p in padded]
+        out[f.name] = None if vals[0] is None else np.stack(vals)
     return Layout(**out)
 
 

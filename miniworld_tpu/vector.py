@@ -196,6 +196,112 @@ def plan_culling(bank_np: Layout, chunk_cap: int):
     return best
 
 
+def plan_packed_pvs(bank_np: Layout, chunk_cap: int, num_envs: int,
+                    max_bytes: int = 768 << 20):
+    """Plan packed per-room PVS banks (the space-time alternative to
+    chunk_vis culling).
+
+    chunk_vis culling visits every chunk CONTAINING a visible triangle;
+    because a room's PVS is scattered over the bank (a maze corridor's
+    visible set is a row segment plus a column segment — no 1-D
+    triangle order keeps both contiguous), the worst-case schedule
+    covers ~2x more triangles than the PVS itself (measured: Maze 8x8
+    sched 6 x 96 = 576 tris vs a 326-tri worst-case PVS). Packing every
+    room's visible set CONTIGUOUSLY (duplicating shared triangles, with
+    identical visible-sets deduped) removes that slack: the schedule
+    becomes ``room_base + arange(sched_len)``.
+
+    Returns (packed dict | None, tri_chunk, sched_len, modeled_cost,
+    orig_pos);
+    None when a single region covers everything (no culling value) or
+    the duplicated arrays would exceed ``max_bytes`` (the budget counts
+    the bank copies AND the (num_envs, S2) per-episode tri_slots).
+    The duplicated copies are render-exact: the chunk scan's z/tie
+    competition is partition-invariant (raycast._tri_pass).
+    """
+    pvs, room_mask = bank_np.room_pvs, bank_np.room_mask
+    if all(pvs[li][np.ix_(m, m)].all() for li, m in enumerate(room_mask)):
+        return None, chunk_cap, None, np.inf, None
+
+    L, S = bank_np.tri_room.shape
+    candidates = [k for k in (32, 48, 64, 96, 128, 160, 192, 224, 256)
+                  if k <= min(chunk_cap, S)] or [min(chunk_cap, S)]
+
+    # Per-layout room triangle index lists + per-room visible sets
+    # (shared across chunk-size candidates).
+    layouts = []
+    for li in range(L):
+        tri_room, mask = bank_np.tri_room[li], bank_np.tri_mask[li]
+        glob = np.where((tri_room == -1) & mask)[0]
+        rooms = np.where(room_mask[li])[0]
+        tris_of = {r: np.where((tri_room == r) & mask)[0] for r in rooms}
+        vsets = {}  # frozenset of visible rooms -> region id
+        room_vset = {}
+        for r in rooms:
+            key = frozenset(np.where(pvs[li][r] & room_mask[li])[0].tolist())
+            room_vset[r] = key
+            vsets.setdefault(key, len(vsets))
+        layouts.append((glob, rooms, tris_of, vsets, room_vset))
+
+    best = (None, chunk_cap, None, np.inf)
+    for k in candidates:
+        sched_len = 1
+        s2_max = 0
+        for glob, rooms, tris_of, vsets, room_vset in layouts:
+            s2 = 0
+            for key in vsets:
+                n = len(glob) + sum(len(tris_of[r]) for r in key)
+                n_chunks = max(-(-n // k), 1)
+                sched_len = max(sched_len, n_chunks)
+                s2 += n_chunks * k
+            s2_max = max(s2_max, s2)
+        cost = sched_len * (k + _CHUNK_OVERHEAD_TRIS)
+        # bank copies: verts9(9f) + attr(16f) + tex id/base/count(3f)
+        bytes_needed = L * s2_max * 28 * 4 + num_envs * s2_max * 4
+        if cost < best[3] and bytes_needed <= max_bytes:
+            best = (k, sched_len, s2_max, cost)
+
+    if best[0] is None:
+        return None, chunk_cap, None, np.inf, None
+    k, sched_len, s2_max, cost = best
+
+    R = bank_np.room_mask.shape[1]
+    S_pad = bank_np.tri_room.shape[1]
+    verts9 = np.zeros((L, 9, s2_max), np.float32)
+    attr = np.zeros((L, s2_max, bank_np.tri_attr.shape[2]), np.float32)
+    tri_tex = np.full((L, s2_max), -1, np.int32)
+    tri_tex_base = np.full((L, s2_max), -1.0, np.float32)
+    tri_tex_count = np.ones((L, s2_max), np.float32)
+    room_base = np.zeros((L, R), np.int32)
+    # orig tri -> position of its first packed copy (tests/debug only;
+    # kept host-side, not a bank field)
+    orig_pos = np.zeros((L, S_pad), np.int64)
+    for li, (glob, rooms, tris_of, vsets, room_vset) in enumerate(layouts):
+        region_base = {}
+        pos = 0
+        for key, _rid in vsets.items():
+            idx = np.concatenate(
+                [glob] + [tris_of[r] for r in sorted(key)]
+            ).astype(np.int64) if (len(glob) or key) else np.zeros(0, np.int64)
+            n_chunks = max(-(-len(idx) // k), 1)
+            region_base[key] = pos // k
+            verts9[li, :, pos:pos + len(idx)] = bank_np.tri_verts9[li][:, idx]
+            attr[li, pos:pos + len(idx)] = bank_np.tri_attr[li][idx]
+            tri_tex[li, pos:pos + len(idx)] = bank_np.tri_tex[li][idx]
+            tri_tex_base[li, pos:pos + len(idx)] = bank_np.tri_tex_base[li][idx]
+            tri_tex_count[li, pos:pos + len(idx)] = bank_np.tri_tex_count[li][idx]
+            orig_pos[li, idx] = np.arange(pos, pos + len(idx))
+            pos += n_chunks * k
+        for r in rooms:
+            room_base[li, r] = region_base[room_vset[r]]
+    packed = dict(
+        pvs_verts9=verts9, pvs_attr=attr, pvs_tri_tex=tri_tex,
+        pvs_tri_tex_base=tri_tex_base, pvs_tri_tex_count=tri_tex_count,
+        pvs_room_base=room_base,
+    )
+    return packed, k, sched_len, cost, orig_pos
+
+
 def lay_view(bank: Layout, layout_id) -> Layout:
     """Per-env layout view: small fields gathered, triangle soup left
     as empty slices (the renderer indexes the bank chunk-wise instead —
@@ -203,7 +309,9 @@ def lay_view(bank: Layout, layout_id) -> Layout:
     out = {}
     for f in dc_fields(Layout):
         arr = getattr(bank, f.name)
-        if f.name in _TRI_FIELDS:
+        if arr is None:  # optional packed-PVS fields
+            out[f.name] = None
+        elif f.name in _TRI_FIELDS or f.name.startswith("pvs_"):
             out[f.name] = arr[0, :0]
         else:
             out[f.name] = arr[layout_id]
@@ -289,23 +397,46 @@ class MiniWorldVec:
         # PVS chunk culling (scene/pvs.py): per-env scans visit only the
         # chunks visible from the camera's room, with a static worst-case
         # schedule length. Exact — culled renders are pixel-identical.
+        self._pvs_packed = False
         if render_backend != "pallas":
-            _, self.tri_chunk, _ = plan_culling(bank_np, self.tri_chunk)
-            # never pad the bank BEYOND its natural triangle count (a
-            # 112-chunk on Hallway's 56 triangles would double the scan)
-            self.tri_chunk = min(self.tri_chunk, bank_np.tri_mask.shape[1])
-            # align chunks (and the per-tri state row view) to the bank
-            bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
-            chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
-            n_chunks = chunk_vis.shape[1]
-            bound = 1
-            for li in range(chunk_vis.shape[0]):
-                counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
-                if counts.size:
-                    bound = max(bound, int(counts.max()))
-            if bound < n_chunks:
-                self._chunk_vis = jnp.asarray(chunk_vis)
-                self._sched_len = bound
+            _, chunks_k, chunks_bound = plan_culling(bank_np, self.tri_chunk)
+            chunks_cost = (
+                chunks_bound * (chunks_k + _CHUNK_OVERHEAD_TRIS)
+                if chunks_bound is not None
+                else (-(-bank_np.tri_mask.shape[1] // chunks_k))
+                * (chunks_k + _CHUNK_OVERHEAD_TRIS)
+            )
+            packed, packed_k, packed_sched, packed_cost, orig_pos = (
+                plan_packed_pvs(bank_np, self.tri_chunk, num_envs)
+            )
+            if packed is not None and packed_cost < chunks_cost:
+                # packed per-room PVS mode: duplicated contiguous
+                # visible sets; schedule = room_base + arange
+                import dataclasses as _dc
+
+                self.tri_chunk = packed_k
+                bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
+                bank_np = _dc.replace(bank_np, **packed)
+                self._pvs_packed = True
+                self._sched_len = packed_sched
+                self._pvs_orig_pos = orig_pos
+            else:
+                self.tri_chunk = chunks_k
+                # never pad the bank BEYOND its natural triangle count (a
+                # 112-chunk on Hallway's 56 triangles would double the scan)
+                self.tri_chunk = min(self.tri_chunk, bank_np.tri_mask.shape[1])
+                # align chunks (and the per-tri state row view) to the bank
+                bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
+                chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
+                n_chunks = chunk_vis.shape[1]
+                bound = 1
+                for li in range(chunk_vis.shape[0]):
+                    counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
+                    if counts.size:
+                        bound = max(bound, int(counts.max()))
+                if bound < n_chunks:
+                    self._chunk_vis = jnp.asarray(chunk_vis)
+                    self._sched_len = bound
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
@@ -471,8 +602,16 @@ class MiniWorldVec:
         # paths) and per triangle (tri_slots, for the fourier renderer —
         # no per-pixel slot-table lookup).
         n_slots = lay.tex_slot_base.shape[0]
-        tri_base = bank.tri_tex_base[layout_id]
-        tri_count = bank.tri_tex_count[layout_id]
+        # packed-PVS mode: per-tri state lives in packed index space
+        # (duplicated copies hash the same slot id -> identical draws)
+        if self._pvs_packed:
+            tri_base = bank.pvs_tri_tex_base[layout_id]
+            tri_count = bank.pvs_tri_tex_count[layout_id]
+            tri_tex = bank.pvs_tri_tex[layout_id]
+        else:
+            tri_base = bank.tri_tex_base[layout_id]
+            tri_count = bank.tri_tex_count[layout_id]
+            tri_tex = bank.tri_tex[layout_id]
         if self.domain_rand:
             tkey = jax.random.bits(ks[8], (), jnp.uint32)
             u = _hash01(tkey, jnp.arange(n_slots, dtype=jnp.int32))
@@ -480,7 +619,7 @@ class MiniWorldVec:
                 jnp.floor(u * lay.tex_slot_count.astype(jnp.float32)).astype(jnp.int32),
                 lay.tex_slot_count - 1,
             )
-            u_t = _hash01(tkey, bank.tri_tex[layout_id])
+            u_t = _hash01(tkey, tri_tex)
             offs_t = jnp.minimum(jnp.floor(u_t * tri_count), tri_count - 1.0)
         else:
             offs = jnp.zeros((n_slots,), jnp.int32)
@@ -595,13 +734,15 @@ class MiniWorldVec:
                    "has_gain": self._tex_has_gain}
         else:
             tex = {"mode": "nearest", "atlas": atlas}
+        use_sched = self._pvs_packed or self._chunk_vis is not None
         rgb, depth = render_rgbd(
             bank, state, tex,
             width=self.obs_width, height=self.obs_height,
             tri_chunk=self.tri_chunk, with_depth=self.with_depth,
             shapes_present=self._shapes_present,
             chunk_vis=self._chunk_vis,
-            sched_len=self._sched_len if self._chunk_vis is not None else None,
+            sched_len=self._sched_len if use_sched else None,
+            pvs_packed=self._pvs_packed,
             supersample=self.supersample,
         )
         return self._wrap_obs_one(rgb, depth, state)

@@ -63,6 +63,96 @@ def test_culled_render_identical(env_id, num_layouts):
             state, _, _, _, _ = env.step(state, acts)
 
 
+def _no_packed(*a, **k):
+    return None, a[1], None, np.inf, None
+
+
+def _no_culling(bank_np, chunk_cap):
+    return None, chunk_cap, None
+
+
+from miniworld_tpu.vector import _chunk_visibility as _orig_chunk_visibility
+
+
+def _all_visible(bank_np, chunk: int):
+    return np.ones_like(_orig_chunk_visibility(bank_np, chunk))
+
+
+def _make_maze_packed(monkeypatch, num_envs=4, domain_rand=True):
+    """(packed env, full-scan baseline env) for Maze 8x8, 2 layouts."""
+    import miniworld_tpu.vector as V
+
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"), num_layouts=2)
+    kw = dict(num_envs=num_envs, bank_seed=3, domain_rand=domain_rand,
+              obs_width=64, obs_height=48)
+    packed = MiniWorldVec(spec, **kw)
+    with monkeypatch.context() as m:
+        m.setattr(V, "plan_packed_pvs", _no_packed)
+        m.setattr(V, "plan_culling", _no_culling)
+        m.setattr(V, "_chunk_visibility", _all_visible)
+        full = MiniWorldVec(spec, **kw)
+    return packed, full
+
+
+def test_packed_pvs_render_identical(monkeypatch):
+    """Packed per-room PVS banks are render-exact: a packed env and a
+    full-scan env driven by the same reset key and action stream emit
+    bit-identical observations (the duplicated triangle copies compete
+    in the same z/tie order thanks to the partition-invariant chunk
+    scan — raycast._tri_pass)."""
+    env_p, env_f = _make_maze_packed(monkeypatch)
+    assert env_p._pvs_packed, "packed planner did not engage on Maze 8x8"
+    assert not env_f._pvs_packed and env_f._chunk_vis is None
+
+    key = jax.random.key(0)
+    state_p, (rgb_p, d_p) = env_p.reset(key)
+    state_f, (rgb_f, d_f) = env_f.reset(key)
+    np.testing.assert_array_equal(np.asarray(rgb_p), np.asarray(rgb_f))
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_f))
+    k_act = jax.random.key(1)
+    for _ in range(8):
+        k_act, k = jax.random.split(k_act)
+        acts = env_p.sample_actions(k)
+        state_p, (rgb_p, d_p), r_p, dn_p, _ = env_p.step(state_p, acts)
+        state_f, (rgb_f, d_f), r_f, dn_f, _ = env_f.step(state_f, acts)
+        np.testing.assert_array_equal(np.asarray(rgb_p), np.asarray(rgb_f))
+        np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_f))
+        np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_f))
+        np.testing.assert_array_equal(np.asarray(dn_p), np.asarray(dn_f))
+
+
+def test_packed_pvs_covers_pvs(monkeypatch):
+    """Host-side: each room's scheduled packed range contains every
+    triangle of every PVS-visible room plus the globals (tri_room -1).
+
+    The device schedule reads chunks [base, base+sched_len) with
+    dynamic_slice start-clamping, so the effective coverage is
+    [base*K, min(base*K + sched_len*K, S2)) — that window must hold a
+    verbatim copy (exact f32 verts9 column) of every required tri."""
+    env_p, _ = _make_maze_packed(monkeypatch, num_envs=2)
+    bank = env_p._bank_np
+    K, sched = env_p.tri_chunk, env_p._sched_len
+    S2 = bank.pvs_verts9.shape[-1]
+    for li in range(bank.tri_room.shape[0]):
+        packed_cols = bank.pvs_verts9[li].T  # (S2, 9)
+        for r in range(bank.room_mask.shape[1]):
+            if not bank.room_mask[li, r]:
+                continue
+            base = int(bank.pvs_room_base[li, r]) * K
+            lo = min(base, max(S2 - sched * K, 0))
+            win = packed_cols[lo:base + sched * K]
+            required = (
+                bank.tri_mask[li]
+                & ((bank.tri_room[li] == -1)
+                   | ((bank.tri_room[li] >= 0)
+                      & bank.room_pvs[li, r][
+                          np.maximum(bank.tri_room[li], 0)]))
+            )
+            need = bank.tri_verts9[li].T[required]  # (n, 9)
+            present = (win[None, :, :] == need[:, None, :]).all(-1).any(-1)
+            assert present.all(), (li, r, int((~present).sum()))
+
+
 def test_schedule_is_conservative():
     """Every chunk containing a triangle of a PVS-visible room is in
     the schedule (host-side check of the planner's bound)."""
