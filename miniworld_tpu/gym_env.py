@@ -450,15 +450,6 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
             atlas = _ATLAS_CACHE[akey]
             self._render_cache = (bank, atlas)
         bank, atlas = self._render_cache
-        # per-tri atlas index from the eager (reference-rng) variant
-        # choices, so device renders agree with world.tex_map exactly
-        tri_tex_np = np.asarray(bank.tri_tex[0])
-        tm_np = np.asarray(self.world.tex_map, np.int64)
-        tri_slots_np = np.where(
-            tri_tex_np >= 0,
-            tm_np[np.clip(tri_tex_np, 0, len(tm_np) - 1)],
-            -1,
-        ).astype(np.float32)
         E = _bucket(len(self.entities), 4)  # stable jit shapes
         ent_pos = np.zeros((E, 3), np.float32)
         ent_dir = np.zeros(E, np.float32)
@@ -498,7 +489,10 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
             light_color=jnp.asarray(self.light_color, jnp.float32),
             light_ambient=jnp.asarray(self.light_ambient, jnp.float32),
             tex_map=jnp.asarray(np.asarray(self.world.tex_map, np.int32)),
-            tri_slots=jnp.asarray(tri_slots_np),
+            # adapter renders in "nearest" mode, which resolves variants
+            # per pixel through tex_map — the fourier-path variant key
+            # is unused here
+            tri_slots=jnp.uint32(0),
             task={},
         )
         return bank, atlas, state

@@ -123,8 +123,28 @@ def chunk_schedule(bank, chunk_vis, layout_id, origin, sched_len: int):
     return jax.lax.sort(keys)[:sched_len]
 
 
+def hash01(key: jax.Array, ids: jax.Array) -> jax.Array:
+    """Counter-based uniform in [0,1) keyed on (key, id): same id =>
+    same draw within an episode, so every triangle of a (room, role)
+    texture slot picks the same variant while distinct slots draw
+    independently (the reference samples one variant per Texture.get
+    call, opengl.py:136-140). Wang/lowbias32-style integer mix.
+
+    Lives here because the render scan evaluates it chunk-wise (the
+    per-episode texture-variant state is just the scalar key,
+    state.tri_slots — materializing a per-tri table cost (B, S) HBM
+    and a reset-time pass for a value derivable in-scan for free).
+    """
+    x = ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) ^ key
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
 def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
-              tri_chunk: int, slot_override=None, chunk_sched=None,
+              tri_chunk: int, slot_key=None, tex_banks=None,
+              dr_active: bool = False, chunk_sched=None,
               init=None):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
@@ -137,10 +157,14 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
     a one-hot matmul, so no per-pixel index survives the scan — and no
     gather is ever issued.
 
-    ``slot_override`` ((S,) f32, optional) replaces the static slot
-    column of the packed attrs with this episode's per-tri atlas index
-    (state.tri_slots) — how per-(room, role) texture-variant
-    randomization reaches the renderer without a slot-table lookup.
+    ``slot_key`` (() u32, optional, fourier mode) replaces the static
+    slot column of the packed attrs with this episode's per-tri atlas
+    index, computed chunk-wise as ``base + floor(hash01(key, slot_id)
+    * count)`` from ``tex_banks = (tri_tex (L,S) i32, tri_tex_base
+    (L,S) f32, tri_tex_count (L,S) f32)`` — per-(room, role)
+    texture-variant randomization with no per-tri episode state and no
+    slot-table lookup. With ``dr_active=False`` the override is just
+    the atlas base (variant 0), matching no_random resets.
 
     ``chunk_sched`` ((N,) i32, optional) restricts the scan to the
     given chunk indices (PVS culling; see chunk_schedule). Out-of-range
@@ -153,20 +177,15 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
     copies). Seeded attrs must already be tie-normalized.
 
     The vector layer repads the bank so ``S % tri_chunk == 0``
-    (MiniWorldVec._repad_for_chunks): chunk boundaries then align with
-    the (n_chunks, chunk) row view of per-tri episode state
-    (slot_override), and vertex reads come from the component-major
-    ``tri_verts9`` rows — both avoid the tiny-inner-dim relayout
+    (MiniWorldVec._repad_for_chunks): chunk boundaries then align
+    cleanly, and vertex reads come from the component-major
+    ``tri_verts9`` rows — avoiding the tiny-inner-dim relayout
     copies the (TC, 3, 3) gathers forced (~9 ms/step on maze).
     """
     num_tris = verts9_bank.shape[-1]
     tri_chunk = min(tri_chunk, num_tris)
     n_chunks = -(-num_tris // tri_chunk)
     hw = dirs.shape[0]
-    if slot_override is not None and num_tris % tri_chunk == 0:
-        slot_rows = slot_override.reshape(n_chunks, tri_chunk)
-    else:
-        slot_rows = None
 
     def read_chunk(c):
         """(v9 (9, TC), attrs (TC, ATTR_DIM)) for chunk index c.
@@ -182,14 +201,23 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         attrs = jax.lax.dynamic_slice(
             attr_bank, (layout_id, start, 0), (1, tri_chunk, ATTR_DIM)
         )[0]
-        if slot_rows is not None:
-            ov = slot_rows[jnp.minimum(c, n_chunks - 1)]
-            attrs = jnp.concatenate(
-                [attrs[:, :_SLOT], ov[:, None], attrs[:, _SLOT + 1:]], axis=1
-            )
-        elif slot_override is not None:
-            start_c = jnp.minimum(start, num_tris - tri_chunk)
-            ov = jax.lax.dynamic_slice(slot_override, (start_c,), (tri_chunk,))
+        if slot_key is not None:
+            tex_ids, tex_base, tex_count = tex_banks
+            base = jax.lax.dynamic_slice(
+                tex_base, (layout_id, start), (1, tri_chunk)
+            )[0]
+            if dr_active:
+                ids = jax.lax.dynamic_slice(
+                    tex_ids, (layout_id, start), (1, tri_chunk)
+                )[0]
+                cnt = jax.lax.dynamic_slice(
+                    tex_count, (layout_id, start), (1, tri_chunk)
+                )[0]
+                u_t = hash01(slot_key, ids)
+                offs = jnp.minimum(jnp.floor(u_t * cnt), cnt - 1.0)
+                ov = jnp.where(base >= 0.0, base + offs, -1.0)
+            else:
+                ov = base  # -1 where flat; variant 0 otherwise
             attrs = jnp.concatenate(
                 [attrs[:, :_SLOT], ov[:, None], attrs[:, _SLOT + 1:]], axis=1
             )
@@ -703,6 +731,7 @@ def render_rgbd(
     chunk_vis=None,
     sched_len: int | None = None,
     pvs_packed: bool = False,
+    domain_rand: bool = False,
     supersample: int = 1,
 ):
     """Render one env's observation. Returns (rgb u8 (H,W,3), depth (H,W,1)).
@@ -721,8 +750,13 @@ def render_rgbd(
     per-room PVS copies (bank.pvs_verts9/pvs_attr, built by
     vector.plan_packed_pvs): the schedule is simply the camera room's
     contiguous chunk range — each env scans exactly its own visible
-    set, with no bin-packing slack. ``state.tri_slots`` must then be in
-    packed index space (reset computes it from the packed tables).
+    set, with no bin-packing slack. Texture-variant randomization
+    resolves chunk-wise from the packed pvs_tri_tex* tables, so the
+    per-episode state is index-space-agnostic (just the scalar key).
+
+    ``domain_rand`` (static) activates the per-episode variant draws
+    keyed on ``state.tri_slots`` (a () u32 key); off, every slot
+    renders variant 0 like the reference with rand_params absent.
 
     ``supersample=2`` renders a 2x2 ordered grid per pixel and
     box-filters the shaded color down — the edge-anti-aliasing analog
@@ -757,11 +791,25 @@ def render_rgbd(
             bank, layout_id, state, origin, dirs,
             fourier=tex["mode"] == "fourier",
         )
-    v9_bank = bank.pvs_verts9 if pvs_packed else bank.tri_verts9
-    at_bank = bank.pvs_attr if pvs_packed else bank.tri_attr
+    if pvs_packed:
+        v9_bank, at_bank = bank.pvs_verts9, bank.pvs_attr
+        tex_banks = (bank.pvs_tri_tex, bank.pvs_tri_tex_base,
+                     bank.pvs_tri_tex_count)
+    else:
+        v9_bank, at_bank = bank.tri_verts9, bank.tri_attr
+        tex_banks = (bank.tri_tex, bank.tri_tex_base, bank.tri_tex_count)
+    # fourier + domain_rand: per-episode variant draws resolve
+    # chunk-wise from the scalar key. fourier without domain_rand: the
+    # atlas base is already baked into the attr slot column
+    # (MiniWorldVec.__init__), so no override runs at all. nearest:
+    # the slot column stays the slot id, resolved through tex_map in
+    # eval_nearest.
+    use_key = tex["mode"] == "fourier" and domain_rand
     t_tri, attr = _tri_pass(
         v9_bank, at_bank, layout_id, origin, dirs, tri_chunk,
-        slot_override=state.tri_slots if tex["mode"] == "fourier" else None,
+        slot_key=state.tri_slots if use_key else None,
+        tex_banks=tex_banks if use_key else None,
+        dr_active=domain_rand,
         chunk_sched=sched, init=seed,
     )
     has_analytic = shapes_present[0] or shapes_present[1]

@@ -47,10 +47,11 @@ class EnvState:
     light_color: jax.Array  # (3,) f32
     light_ambient: jax.Array  # (3,) f32
     tex_map: jax.Array  # (T,) i32 texture slot -> atlas index
-    # (S,) f32 per-triangle atlas index with this episode's variant
-    # randomization applied (-1 = flat color). Same draws as tex_map
-    # (keyed hash of the slot id), but resolved per tri so the fourier
-    # renderer needs no per-pixel slot-table lookup.
+    # () u32 texture-variant key for this episode: the render scan
+    # resolves per-triangle atlas indices chunk-wise as
+    # base + floor(hash01(key, slot_id) * count) (raycast.hash01) —
+    # the same draws as tex_map, with no per-tri episode state. 0 when
+    # domain_rand is off (draws are then forced to variant 0).
     tri_slots: jax.Array
 
     # env-specific task state (dict pytree; static structure per class)

@@ -30,7 +30,7 @@ import numpy as np
 
 from miniworld_tpu.envs.base import Ctx, EnvSpec
 from miniworld_tpu.ops import physics, place as place_ops
-from miniworld_tpu.render.raycast import render_rgbd
+from miniworld_tpu.render.raycast import hash01, render_rgbd
 from miniworld_tpu.render.textures import FOURIER_TERMS, TextureCatalog
 from miniworld_tpu.scene.compile import Layout, compile_world, stack_layouts
 from miniworld_tpu.scene.world import World
@@ -49,17 +49,7 @@ _TRI_FIELDS = (
 )
 
 
-def _hash01(key: jax.Array, ids: jax.Array) -> jax.Array:
-    """Counter-based uniform in [0,1) keyed on (key, id): same id =>
-    same draw within an episode, so every triangle of a (room, role)
-    texture slot picks the same variant while distinct slots draw
-    independently (the reference samples one variant per Texture.get
-    call, opengl.py:136-140). Wang/lowbias32-style integer mix."""
-    x = ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) ^ key
-    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
-    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
-    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+_hash01 = hash01  # texture-variant draw hash; lives with its consumer
 
 
 def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
@@ -196,7 +186,7 @@ def plan_culling(bank_np: Layout, chunk_cap: int):
     return best
 
 
-def plan_packed_pvs(bank_np: Layout, chunk_cap: int, num_envs: int,
+def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
                     max_bytes: int = 768 << 20):
     """Plan packed per-room PVS banks (the space-time alternative to
     chunk_vis culling).
@@ -214,8 +204,7 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int, num_envs: int,
     Returns (packed dict | None, tri_chunk, sched_len, modeled_cost,
     orig_pos);
     None when a single region covers everything (no culling value) or
-    the duplicated arrays would exceed ``max_bytes`` (the budget counts
-    the bank copies AND the (num_envs, S2) per-episode tri_slots).
+    the duplicated bank copies would exceed ``max_bytes``.
     The duplicated copies are render-exact: the chunk scan's z/tie
     competition is partition-invariant (raycast._tri_pass).
     """
@@ -257,7 +246,7 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int, num_envs: int,
             s2_max = max(s2_max, s2)
         cost = sched_len * (k + _CHUNK_OVERHEAD_TRIS)
         # bank copies: verts9(9f) + attr(16f) + tex id/base/count(3f)
-        bytes_needed = L * s2_max * 28 * 4 + num_envs * s2_max * 4
+        bytes_needed = L * s2_max * 28 * 4
         if cost < best[3] and bytes_needed <= max_bytes:
             best = (k, sched_len, s2_max, cost)
 
@@ -407,7 +396,7 @@ class MiniWorldVec:
                 * (chunks_k + _CHUNK_OVERHEAD_TRIS)
             )
             packed, packed_k, packed_sched, packed_cost, orig_pos = (
-                plan_packed_pvs(bank_np, self.tri_chunk, num_envs)
+                plan_packed_pvs(bank_np, self.tri_chunk)
             )
             if packed is not None and packed_cost < chunks_cost:
                 # packed per-room PVS mode: duplicated contiguous
@@ -437,6 +426,23 @@ class MiniWorldVec:
                 if bound < n_chunks:
                     self._chunk_vis = jnp.asarray(chunk_vis)
                     self._sched_len = bound
+        if tex_mode == "fourier" and not domain_rand:
+            # Without domain_rand every slot renders variant 0, so the
+            # per-tri atlas index is static: bake it into the attr slot
+            # column now and the render scan skips the override splice
+            # (no extra tex-bank slices in read_chunk, no per-chunk
+            # concat). raycast.render_rgbd only engages slot_key when
+            # domain_rand is set.
+            import dataclasses as _dc
+
+            ta = bank_np.tri_attr.copy()
+            ta[:, :, 14] = bank_np.tri_tex_base
+            repl = {"tri_attr": ta}
+            if self._pvs_packed:
+                pa = bank_np.pvs_attr.copy()
+                pa[:, :, 14] = bank_np.pvs_tri_tex_base
+                repl["pvs_attr"] = pa
+            bank_np = _dc.replace(bank_np, **repl)
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
@@ -602,16 +608,6 @@ class MiniWorldVec:
         # paths) and per triangle (tri_slots, for the fourier renderer —
         # no per-pixel slot-table lookup).
         n_slots = lay.tex_slot_base.shape[0]
-        # packed-PVS mode: per-tri state lives in packed index space
-        # (duplicated copies hash the same slot id -> identical draws)
-        if self._pvs_packed:
-            tri_base = bank.pvs_tri_tex_base[layout_id]
-            tri_count = bank.pvs_tri_tex_count[layout_id]
-            tri_tex = bank.pvs_tri_tex[layout_id]
-        else:
-            tri_base = bank.tri_tex_base[layout_id]
-            tri_count = bank.tri_tex_count[layout_id]
-            tri_tex = bank.tri_tex[layout_id]
         if self.domain_rand:
             tkey = jax.random.bits(ks[8], (), jnp.uint32)
             u = _hash01(tkey, jnp.arange(n_slots, dtype=jnp.int32))
@@ -619,13 +615,12 @@ class MiniWorldVec:
                 jnp.floor(u * lay.tex_slot_count.astype(jnp.float32)).astype(jnp.int32),
                 lay.tex_slot_count - 1,
             )
-            u_t = _hash01(tkey, tri_tex)
-            offs_t = jnp.minimum(jnp.floor(u_t * tri_count), tri_count - 1.0)
         else:
+            tkey = jnp.uint32(0)
             offs = jnp.zeros((n_slots,), jnp.int32)
-            offs_t = jnp.zeros_like(tri_count)
         tex_map = lay.tex_slot_base + offs
-        tri_slots = jnp.where(tri_base >= 0.0, tri_base + offs_t, -1.0)
+        # per-tri variant resolution happens chunk-wise IN the render
+        # scan from this scalar key (raycast.hash01) — no (B, S) table
 
         task = jax.tree.map(jnp.asarray, spec.init_task())
         state = EnvState(
@@ -640,7 +635,7 @@ class MiniWorldVec:
             step_count=jnp.int32(0), rng=ks[9], layout_id=layout_id,
             sky_color=sky_color, light_pos=light_pos,
             light_color=light_color, light_ambient=light_ambient,
-            tex_map=tex_map, tri_slots=tri_slots, task=task,
+            tex_map=tex_map, tri_slots=tkey, task=task,
         )
         return spec.post_reset(lay, state, ks[10])
 
@@ -743,6 +738,7 @@ class MiniWorldVec:
             chunk_vis=self._chunk_vis,
             sched_len=self._sched_len if use_sched else None,
             pvs_packed=self._pvs_packed,
+            domain_rand=self.domain_rand,
             supersample=self.supersample,
         )
         return self._wrap_obs_one(rgb, depth, state)

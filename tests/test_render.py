@@ -126,6 +126,8 @@ def test_per_room_texture_variants():
     reference's per-room Texture.get (miniworld.py:296-298): each slot
     draws independently, every tri of a slot shares its draw, and the
     per-tri resolution agrees with the slot table."""
+    from miniworld_tpu.render.raycast import hash01
+
     env = MiniWorldVec("FourRooms", num_envs=4, obs_width=W, obs_height=H,
                        domain_rand=True)
     state, _ = env.reset(jax.random.key(3))
@@ -134,7 +136,14 @@ def test_per_room_texture_variants():
     counts = np.asarray(bank.tex_slot_count[0])
     for e in range(4):
         tm = np.asarray(state.tex_map[e])
-        ts = np.asarray(state.tri_slots[e])
+        # materialize the render scan's chunk-wise per-tri resolution
+        # (raycast._tri_pass read_chunk) for the whole bank
+        key = state.tri_slots[e]
+        cnt = np.asarray(bank.tri_tex_count[0])
+        tri_base = np.asarray(bank.tri_tex_base[0])
+        u_t = np.asarray(hash01(key, jnp.asarray(tt)))
+        offs = np.minimum(np.floor(u_t * cnt), cnt - 1.0)
+        ts = np.where(tri_base >= 0.0, tri_base + offs, -1.0)
         valid = tt >= 0
         # per-tri resolution == slot-table resolution
         assert np.array_equal(
