@@ -25,8 +25,15 @@ from miniworld_tpu.parallel.mesh import DATA_AXIS
 
 
 def init_params(key: jax.Array, obs_shape, num_actions: int,
-                channels=(16, 32, 32), hidden: int = 256) -> dict:
-    """He-init CNN torso (stride-2 convs) + policy/value heads."""
+                channels=(16, 32, 32), hidden: int = 256,
+                continuous: bool = False) -> dict:
+    """He-init CNN torso (stride-2 convs) + policy/value heads.
+
+    ``continuous=True`` makes the pi head emit ``num_actions`` Gaussian
+    MEANS and adds a state-independent ``log_std`` vector — the policy
+    for raw Box action spaces (the reference's default 6-D continuous
+    convention, miniworld.py:616-652); out-of-range samples are clipped
+    by the env's own clip_action like any other caller's."""
     h, w, c = obs_shape
     params = {}
     ks = jax.random.split(key, len(channels) + 3)
@@ -54,7 +61,30 @@ def init_params(key: jax.Array, obs_shape, num_actions: int,
         "w": jax.random.normal(ks[-1], (hidden, 1), jnp.float32) * 0.01,
         "b": jnp.zeros((1,), jnp.float32),
     }
+    if continuous:
+        params["log_std"] = jnp.full((num_actions,), -0.5, jnp.float32)
     return params
+
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def gaussian_sample(params, mean, key):
+    """Sample the diagonal-Gaussian policy: mean + exp(log_std) * eps."""
+    std = jnp.exp(params["log_std"])
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def gaussian_logp(params, mean, actions):
+    """(B, A) mean + actions -> (B,) joint log-density."""
+    log_std = params["log_std"]
+    z = (actions - mean) * jnp.exp(-log_std)
+    return -0.5 * jnp.sum(z * z + 2.0 * log_std + _LOG_2PI, axis=-1)
+
+
+def gaussian_entropy(params):
+    """() closed-form entropy of the diagonal Gaussian head."""
+    return 0.5 * jnp.sum(2.0 * params["log_std"] + _LOG_2PI + 1.0)
 
 
 def forward(params: dict, rgb: jax.Array, depth: jax.Array):
@@ -87,14 +117,22 @@ def forward(params: dict, rgb: jax.Array, depth: jax.Array):
 
 
 def a2c_loss(params, rgb, depth, actions, returns):
-    """Advantage actor-critic loss for one batch of transitions."""
-    logits, value = forward(params, rgb, depth)
-    logp = jax.nn.log_softmax(logits)
-    act_logp = jnp.take_along_axis(logp, actions[:, None], axis=1)[:, 0]
+    """Advantage actor-critic loss for one batch of transitions.
+
+    Branches statically on the head type: categorical (int actions)
+    without a ``log_std`` param, diagonal Gaussian (float action
+    vectors) with one."""
+    out, value = forward(params, rgb, depth)
+    if "log_std" in params:
+        act_logp = gaussian_logp(params, out, actions)
+        ent = gaussian_entropy(params)
+    else:
+        logp = jax.nn.log_softmax(out)
+        act_logp = jnp.take_along_axis(logp, actions[:, None], axis=1)[:, 0]
+        ent = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=1))
     adv = returns - jax.lax.stop_gradient(value)
     pg = -jnp.mean(act_logp * adv)
     vf = 0.5 * jnp.mean((returns - value) ** 2)
-    ent = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=1))
     return pg + vf - 0.01 * ent
 
 
@@ -148,14 +186,18 @@ def ppo_loss(params, rgb, depth, actions, old_logp, adv, returns, *,
     the caller. Returns (loss, aux) with ``approx_kl`` (the simple
     E[old_logp - logp] estimator) and ``clip_frac`` diagnostics.
     """
-    logits, value = forward(params, rgb, depth)
-    logp_all = jax.nn.log_softmax(logits)
-    logp = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
+    out, value = forward(params, rgb, depth)
+    if "log_std" in params:
+        logp = gaussian_logp(params, out, actions)
+        ent = gaussian_entropy(params)
+    else:
+        logp_all = jax.nn.log_softmax(out)
+        logp = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
+        ent = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=1))
     ratio = jnp.exp(logp - old_logp)
     clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
     pg = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
     vf = 0.5 * jnp.mean((returns - value) ** 2)
-    ent = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=1))
     aux = {
         "approx_kl": jnp.mean(old_logp - logp),
         "clip_frac": jnp.mean((jnp.abs(ratio - 1.0) > clip_eps).astype(

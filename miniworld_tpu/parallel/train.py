@@ -75,17 +75,35 @@ def gae(rewards, dones, values, bootstrap, gamma: float, lam: float):
     return advs
 
 
-def _policy_num_actions(env, who: str) -> int:
+def _policy_spec(env) -> tuple[int, bool]:
+    """(action_dim, continuous) for the env's action space: categorical
+    over a discrete table / spec.num_actions when present, otherwise a
+    diagonal-Gaussian head over the raw Box space (2-D click coords or
+    the reference's 6-D action vector, miniworld.py:616-652)."""
     if env._action_table is not None:
-        return env._action_table.shape[0]
+        return env._action_table.shape[0], False
     if getattr(env.spec, "num_actions", 0):
-        return env.spec.num_actions
-    raise ValueError(
-        f"{env.spec.name}: {who} needs a discrete action "
-        "space (a discrete_actions table or spec.num_actions); the "
-        "categorical policy head cannot drive continuous Box(6) "
-        "actions — add a Gaussian head or set_discrete_actions."
-    )
+        return env.spec.num_actions, False
+    if getattr(env.spec, "click_action", False):
+        return 2, True
+    return 6, True
+
+
+def _policy_factory(params, continuous: bool):
+    def policy(obs, depth, key):
+        rgb = jax.tree.leaves(obs)[0]
+        out, _ = L.forward(params, rgb, depth)
+        if continuous:
+            return L.gaussian_sample(params, out, key)
+        return jax.random.categorical(key, out)
+    return policy
+
+
+def _flat_actions(actions, n: int, continuous: bool):
+    """(T, B[, A]) rollout actions -> the loss's flat batch layout."""
+    if continuous:
+        return actions.reshape(n, actions.shape[-1])
+    return actions.reshape(n).astype(jnp.int32)
 
 
 def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
@@ -99,20 +117,14 @@ def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
     """
     n_dev = mesh.devices.size
     assert env.num_envs % n_dev == 0, (env.num_envs, n_dev)
-    num_actions = _policy_num_actions(env, "make_train_step")
-
-    def policy_factory(params):
-        def policy(obs, depth, key):
-            rgb = jax.tree.leaves(obs)[0]
-            logits, _ = L.forward(params, rgb, depth)
-            return jax.random.categorical(key, logits)
-        return policy
+    num_actions, continuous = _policy_spec(env)
 
     def local_train(bank, atlas, tstate, state, obs, depth, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         params = tstate["params"]
-        rollout = env.rollout_fn(horizon, policy=policy_factory(params),
-                                 return_obs=True, return_actions=True)
+        rollout = env.rollout_fn(
+            horizon, policy=_policy_factory(params, continuous),
+            return_obs=True, return_actions=True)
         state, obs, depth, outs = rollout(bank, atlas, state, obs, depth, key)
 
         # transitions the policy actually produced: obs[t] -> actions[t]
@@ -132,7 +144,7 @@ def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
             params, tstate["opt"],
             rgb_t.reshape(T * B, *rgb_t.shape[2:]),
             dep_t.reshape(T * B, *dep_t.shape[2:]),
-            outs["actions"].reshape(T * B).astype(jnp.int32),
+            _flat_actions(outs["actions"], T * B, continuous),
             returns.reshape(T * B),
             lr=lr, axis_name=DATA_AXIS,
         )
@@ -158,10 +170,10 @@ def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
     def step(tstate, state, obs, depth, key):
         return train_jit(env._bank, env._atlas, tstate, state, obs, depth, key)
 
-    return step, _make_init(env, num_actions)
+    return step, _make_init(env, num_actions, continuous)
 
 
-def _make_init(env, num_actions: int):
+def _make_init(env, num_actions: int, continuous: bool = False):
     """``init(key) -> (tstate, state, obs, depth)`` for a fresh run."""
 
     def init(key):
@@ -170,7 +182,8 @@ def _make_init(env, num_actions: int):
         state = env._reset_jit(env._bank, keys)
         obs, depth = env._render_jit(env._bank, env._atlas, state)
         params = L.init_params(
-            k_par, (env.obs_height, env.obs_width, 3), num_actions
+            k_par, (env.obs_height, env.obs_width, 3), num_actions,
+            continuous=continuous,
         )
         tstate = {"params": params, "opt": L.adam_init(params)}
         return tstate, state, obs, depth
@@ -204,25 +217,19 @@ def make_ppo_step(env, mesh, horizon: int = 16, lr: float = 3e-4,
     """
     n_dev = mesh.devices.size
     assert env.num_envs % n_dev == 0, (env.num_envs, n_dev)
-    num_actions = _policy_num_actions(env, "make_ppo_step")
+    num_actions, continuous = _policy_spec(env)
     b_loc = env.num_envs // n_dev
     n_loc = horizon * b_loc
     assert n_loc % minibatches == 0, (n_loc, minibatches)
     mb = n_loc // minibatches
 
-    def policy_factory(params):
-        def policy(obs, depth, key):
-            rgb = jax.tree.leaves(obs)[0]
-            logits, _ = L.forward(params, rgb, depth)
-            return jax.random.categorical(key, logits)
-        return policy
-
     def local_train(bank, atlas, tstate, state, obs, depth, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         k_roll, k_sgd = jax.random.split(key)
         params = tstate["params"]
-        rollout = env.rollout_fn(horizon, policy=policy_factory(params),
-                                 return_obs=True, return_actions=True)
+        rollout = env.rollout_fn(
+            horizon, policy=_policy_factory(params, continuous),
+            return_obs=True, return_actions=True)
         state, obs, depth, outs = rollout(
             bank, atlas, state, obs, depth, k_roll
         )
@@ -234,17 +241,20 @@ def make_ppo_step(env, mesh, horizon: int = 16, lr: float = 3e-4,
         )
         flat_rgb = rgb_t.reshape(T * B, *rgb_t.shape[2:])
         flat_dep = dep_t.reshape(T * B, *dep_t.shape[2:])
-        actions = outs["actions"].reshape(T * B).astype(jnp.int32)
+        actions = _flat_actions(outs["actions"], T * B, continuous)
 
         # Behavior-policy stats under the PRE-update params: log-prob of
         # the taken actions and V(obs_t) in one batched forward (the
         # rollout doesn't record them; recomputing costs one extra
         # forward and keeps the rollout output contract unchanged).
-        old_logits, values = L.forward(params, flat_rgb, flat_dep)
-        old_logp_all = jax.nn.log_softmax(old_logits)
-        old_logp = jnp.take_along_axis(
-            old_logp_all, actions[:, None], axis=1
-        )[:, 0]
+        old_out, values = L.forward(params, flat_rgb, flat_dep)
+        if continuous:
+            old_logp = L.gaussian_logp(params, old_out, actions)
+        else:
+            old_logp_all = jax.nn.log_softmax(old_out)
+            old_logp = jnp.take_along_axis(
+                old_logp_all, actions[:, None], axis=1
+            )[:, 0]
         _, v_boot = L.forward(params, jax.tree.leaves(obs)[0], depth)
         adv = gae(
             outs["rewards"], outs["done_mask"], values.reshape(T, B),
@@ -321,4 +331,4 @@ def make_ppo_step(env, mesh, horizon: int = 16, lr: float = 3e-4,
     def step(tstate, state, obs, depth, key):
         return train_jit(env._bank, env._atlas, tstate, state, obs, depth, key)
 
-    return step, _make_init(env, num_actions)
+    return step, _make_init(env, num_actions, continuous)

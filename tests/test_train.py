@@ -59,20 +59,6 @@ def test_ppo_step_updates_params(env):
     assert _params_delta(tstate["params"], tstate2["params"]) > 0
 
 
-def test_ppo_rejects_continuous_envs():
-    class FakeSpec:
-        name = "fake"
-        num_actions = 0
-
-    class FakeEnv:
-        _action_table = None
-        spec = FakeSpec()
-        num_envs = 8
-
-    with pytest.raises(ValueError, match="discrete action"):
-        make_ppo_step(FakeEnv(), make_mesh(2))
-
-
 def test_discounted_returns_cut_at_done():
     rewards = jnp.array([[1.0], [1.0], [1.0]])
     dones = jnp.array([[False], [True], [False]])
@@ -124,3 +110,32 @@ def test_multihost_init_fail_fast(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
     monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
     pmesh.init_multihost()  # must not raise
+
+
+def test_continuous_gaussian_head():
+    """Envs without a discrete action table train through the diagonal-
+    Gaussian head: actions are 6-D Box vectors (the reference's raw
+    continuous convention, miniworld.py:616-652), the log-prob/entropy
+    terms are finite, and both A2C and PPO update every param including
+    log_std's gradient path."""
+    env = MiniWorldVec("MiniWorld-OneRoomS6Fast-v0", num_envs=8,
+                       obs_width=32, obs_height=24)
+    env.set_discrete_actions(None)  # force the continuous Box(6) space
+    mesh = make_mesh(2)
+
+    step, init = make_train_step(env, mesh, horizon=3)
+    tstate, state, obs, depth = init(jax.random.key(0))
+    assert "log_std" in tstate["params"]
+    tstate2, state2, obs2, depth2, m = step(
+        tstate, state, obs, depth, jax.random.key(1)
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert _params_delta(tstate["params"], tstate2["params"]) > 0
+
+    pstep, pinit = make_ppo_step(env, mesh, horizon=4, epochs=2,
+                                 minibatches=2)
+    tstate, state, obs, depth = pinit(jax.random.key(2))
+    tstate2, _, _, _, m = pstep(tstate, state, obs, depth, jax.random.key(3))
+    for k in ("loss", "approx_kl", "clip_frac", "return_mean"):
+        assert np.isfinite(float(m[k])), k
+    assert _params_delta(tstate["params"], tstate2["params"]) > 0
