@@ -1,32 +1,52 @@
-"""Fused Pallas TPU render kernel (lane-major pixel layout).
+"""Fused Pallas TPU render kernel — scheduled, persistent-grid design.
 
-Runs the full observation pipeline — ray generation, chunked
-ray-triangle intersection with one-hot attribute resolve, analytic
-entity intersection, Fourier texture evaluation, fixed-function
-shading — in VMEM with one grid step per env and an in-kernel loop over
-128-pixel tiles.
+Round-2 rework of the whole-bank kernel this file used to hold (which
+lost to XLA 105-144 ms vs 60 ms at B=1024: it scanned every padded
+256-row chunk of the bank per env — on Hallway that is 16x pure padding
+waste, on mazes it ignores PVS culling entirely). The redesign makes
+the kernel see exactly the same work the XLA path does, then beats it
+on memory traffic:
 
-Layout rationale (every rule below was measured on v5e, see the perf
-notes in the module this supersedes):
+  * grid = (B, sched_len): one inner step per (env, scheduled chunk).
+    The per-env chunk schedule (packed-PVS ``room_base + arange``,
+    a chunk_vis schedule, or a full scan — all identical to
+    render/raycast.py) arrives as a scalar-prefetch (B, NS) table, and
+    the triangle block index_map reads it: Mosaic streams
+    (1, tri_chunk, 32) blocks straight from the scheduled bank rows
+    with automatic double buffering. No padding waste, full culling.
+  * the z/attr carry lives in VMEM scratch persisting across the
+    chunk steps of each env — the XLA scan's dominant fixed cost
+    (~5 ms/step at B=1024: a (B, HW, 17) f32 carry read+written
+    through HBM per chunk iteration) becomes zero bytes of HBM
+    traffic.
+  * entity intersection, Fourier texture evaluation, and shading run
+    once, fused, at the last schedule step; the only HBM writes of the
+    whole pipeline are the final rgba + depth tiles.
+
+Layout rationale (unchanged from the measured v5e rules):
   * 1-D arrays and broadcast-splat stores lower ~1000x slower than 2-D
     vector code -> nothing here is 1-D until the final store reshape;
-  * per-pixel values live as (1, 128) lane rows (full-lane VPU ops at
-    1/8 sublane utilization — the cheap direction to waste);
-  * per-(triangle, pixel) matrices are (TRI_CHUNK, 128) with triangles
+  * per-pixel values live as (1, 128) lane rows;
+  * per-(triangle, pixel) matrices are (tri_chunk, 128) with triangles
     in sublanes, so the z-buffer reduction is a sublane reduce and the
     per-pixel outputs land directly in lane rows;
-  * triangle data is packed (L, S, 32) — triangles in sublanes — so a
-    chunk column slice (TC, 1) broadcasts against pixel rows with no
-    relayout;
-  * texture coefficients arrive transposed (B, D, T) so the per-pixel
-    coefficient fetch is one (D, T) @ (T, 128) matmul;
+  * triangle data is packed (L, S_pad, 32) — triangles in sublanes —
+    so a chunk column slice (TC, 1) broadcasts against pixel rows with
+    no relayout;
   * scalars (camera uniforms, entity table) come from SMEM;
-  * no scalar/matvec dots, no jnp.cross/stack on small vectors, no
-    boolean selects, f32->u32 via i32 (Mosaic lowering limits).
+  * no scalar/matvec dots, no jnp.cross/stack on small vectors,
+    f32->u32 via i32 (Mosaic lowering limits).
 
-Numerics match render/raycast.py except the within-chunk tie-break:
-equal-t winners are weight-normalized instead of first-index (ties are
-GL z-fights anyway).
+Numerics match render/raycast.py except ties: in-chunk ties weight-
+normalize (same as XLA); exact cross-chunk ties keep the earlier
+chunk's winner instead of averaging (only reachable by z-fighting
+duplicate geometry; schedule-clamp repeat chunks re-present identical
+triangles, where first-win == average).
+
+Scope (enforced by the vector layer's eligibility check): fourier
+textures with the atlas slot index baked into the attr slot column
+(i.e. domain_rand off — MiniWorldVec bakes it then), no glyph-gain
+textures, analytic sphere/box entities only (no dynamic-mesh protos).
 
 Contracts:
   uniforms (B, 1, 32) f32 [SMEM]:
@@ -37,8 +57,10 @@ Contracts:
     [0:3] pos [3] dir [4:7] size [7] height [8:11] color [11] shape
     [12] active
   tri pack (L, S_pad, 32) f32: cols 0-8 v0/v1/v2 xyz, cols 9-24 attrs
-    ([A(6)|b(2)|normal|color|slot|one], raycast.ATTR layout).
-  coeffs (B, D, T) f32: transposed Fourier tables (tex_map applied).
+    ([A(6)|b(2)|normal|color|atlas_slot|one], raycast.ATTR layout,
+    slot column pre-baked to ATLAS indices).
+  sched (B, NS) i32: chunk index per (env, step), clamped repeats ok.
+  coeffs (D, A) f32: the shared transposed Fourier atlas.
   outputs rgba (B, NT, 128) u32 0xAABBGGRR + depth f32.
 """
 
@@ -56,7 +78,6 @@ from miniworld_tpu.render.raycast import FAR, GL_GLOBAL_AMBIENT, NEAR
 from miniworld_tpu.scene.entities import SHAPE_SPHERE
 
 PX = 128  # pixels per inner tile (one lane row)
-TRI_CHUNK = 256  # triangles per chunk (sublane dim of the hit matrix)
 
 
 def _round_up(n, m):
@@ -64,31 +85,36 @@ def _round_up(n, m):
 
 
 def _kernel(
-    layout_ids_ref,  # scalar prefetch (B,)
-    tri_ref,         # (1, S_pad, 32) VMEM
+    lids_ref,        # scalar prefetch (B,) i32
+    sched_ref,       # scalar prefetch (B, NS) i32
+    tri_ref,         # (1, TC, 32) VMEM — the scheduled chunk
     uni_ref,         # (1, 1, 32) SMEM
     ent_ref,         # (1, E, 16) SMEM
-    coef_ref,        # (1, D, T) VMEM
+    coef_ref,        # (D, A) VMEM (shared atlas, transposed)
     rgba_ref,        # (1, NT, PX) VMEM out
     depth_ref,       # (1, NT, PX) VMEM out
+    t_scr,           # (NT, PX) f32 scratch — z carry
+    at_scr,          # (16 * NT, PX) f32 scratch — attr carry
     *,
     width: int,
     height: int,
     k_terms: int,
-    num_tris: int,
+    tri_chunk: int,
     num_ents: int,
     n_tiles: int,
+    n_sched: int,
 ):
+    ci = pl.program_id(1)
+
     def u(k):
         return uni_ref[0, 0, k]
 
     ox, oy, oz = u(0), u(1), u(2)
     tan_x, tan_y = u(12), u(13)
     hw = width * height
-    n_chunks = num_tris // TRI_CHUNK
 
-    def render_tile(pt, _):
-        # ---- rays: per-pixel lane rows (1, PX) ------------------------
+    def ray_rows(pt):
+        """Per-pixel ray directions for tile pt as (1, PX) lane rows."""
         pix = pt * PX + jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
         pix = jnp.minimum(pix, hw - 1)
         py = pix // width
@@ -98,309 +124,336 @@ def _kernel(
         dx = u(3) + xs * u(9) + ys * u(6)
         dy = u(4) + xs * u(10) + ys * u(7)
         dz = u(5) + xs * u(11) + ys * u(8)
+        return dx, dy, dz
 
-        # ---- triangle pass --------------------------------------------
-        def tri_body(c, carry):
-            t_best, attr_best = carry
-            start = c * TRI_CHUNK
+    @pl.when(ci == 0)
+    def _init_carry():
+        t_scr[:, :] = jnp.full(t_scr.shape, jnp.inf, jnp.float32)
+        at_scr[:, :] = jnp.zeros(at_scr.shape, jnp.float32)
 
-            def col(k):
-                return tri_ref[0, pl.ds(start, TRI_CHUNK), k:k + 1]  # (TC,1)
+    # ---- one scheduled chunk against every pixel tile ------------------
+    def col(k):
+        return tri_ref[0, :, k:k + 1]  # (TC, 1)
 
-            v0x, v0y, v0z = col(0), col(1), col(2)
-            e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
-            e2x, e2y, e2z = col(6) - v0x, col(7) - v0y, col(8) - v0z
-            sx_, sy_, sz_ = ox - v0x, oy - v0y, oz - v0z
+    v0x, v0y, v0z = col(0), col(1), col(2)
+    e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
+    e2x, e2y, e2z = col(6) - v0x, col(7) - v0y, col(8) - v0z
+    sx_, sy_, sz_ = ox - v0x, oy - v0y, oz - v0z
 
-            # g_det = e2 x e1; g_u = e2 x s; g_v = s x e1  (TC,1) each
-            gdx = e2y * e1z - e2z * e1y
-            gdy = e2z * e1x - e2x * e1z
-            gdz = e2x * e1y - e2y * e1x
-            gux = e2y * sz_ - e2z * sy_
-            guy = e2z * sx_ - e2x * sz_
-            guz = e2x * sy_ - e2y * sx_
-            gvx = sy_ * e1z - sz_ * e1y
-            gvy = sz_ * e1x - sx_ * e1z
-            gvz = sx_ * e1y - sy_ * e1x
-            t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC,1)
+    # g_det = e2 x e1; g_u = e2 x s; g_v = s x e1  (TC, 1) each
+    gdx = e2y * e1z - e2z * e1y
+    gdy = e2z * e1x - e2x * e1z
+    gdz = e2x * e1y - e2y * e1x
+    gux = e2y * sz_ - e2z * sy_
+    guy = e2z * sx_ - e2x * sz_
+    guz = e2x * sy_ - e2y * sx_
+    gvx = sy_ * e1z - sz_ * e1y
+    gvy = sz_ * e1x - sx_ * e1z
+    gvz = sx_ * e1y - sy_ * e1x
+    t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC, 1)
 
-            # (TC,1) x (1,PX) outer-product broadcasts -> (TC, PX)
-            det = gdx * dx + gdy * dy + gdz * dz
-            u_num = gux * dx + guy * dy + guz * dz
-            v_num = gvx * dx + gvy * dy + gvz * dz
+    def chunk_tile(pt, _):
+        dx, dy, dz = ray_rows(pt)
 
-            inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
-            t = t_num * inv_det
-            hit = (
-                (det > 1e-12)
-                & (u_num >= 0.0)
-                & (v_num >= 0.0)
-                & (u_num + v_num <= det)
-                & (t > NEAR)
-                & (t < FAR)
-            )
-            t = jnp.where(hit, t, jnp.inf)
-            t_min = jnp.min(t, axis=0, keepdims=True)  # (1, PX)
-            oh = ((t == t_min) & hit).astype(jnp.float32)
+        # (TC,1) x (1,PX) outer-product broadcasts -> (TC, PX)
+        det = gdx * dx + gdy * dy + gdz * dz
+        u_num = gux * dx + guy * dy + guz * dz
+        v_num = gvx * dx + gvy * dy + gvz * dz
 
-            # attribute resolve: 16 sublane reductions (TC,PX) -> (1,PX);
-            # the ones column (15) normalizes exact ties
-            sel = [
-                jnp.sum(oh * col(9 + k_), axis=0, keepdims=True)
-                for k_ in range(16)
-            ]
-            inv_n = 1.0 / jnp.maximum(sel[15], 1.0)
-            sel = tuple(sv * inv_n for sv in sel)
-
-            closer = t_min < t_best
-            return (
-                jnp.where(closer, t_min, t_best),
-                tuple(
-                    jnp.where(closer, sel[k_], attr_best[k_])
-                    for k_ in range(16)
-                ),
-            )
-
-        zrow = jnp.zeros((1, PX), jnp.float32)
-        init_tri = (
-            jnp.full((1, PX), jnp.inf, jnp.float32),
-            (zrow,) * 16,
+        inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
+        t = t_num * inv_det
+        hit = (
+            (det > 1e-12)
+            & (u_num >= 0.0)
+            & (v_num >= 0.0)
+            & (u_num + v_num <= det)
+            & (t > NEAR)
+            & (t < FAR)
         )
-        t_tri, attr = jax.lax.fori_loop(0, n_chunks, tri_body, init_tri)
+        t = jnp.where(hit, t, jnp.inf)
+        t_min = jnp.min(t, axis=0, keepdims=True)  # (1, PX)
+        oh = ((t == t_min) & hit).astype(jnp.float32)
 
-        # ---- entity pass (component-wise on (1,PX) rows) ---------------
-        def ent_body(e, carry):
-            t_best, cr, cg, cb, nx, ny, nz = carry
-            px_, py_, pz_ = (
-                ent_ref[0, e, 0], ent_ref[0, e, 1], ent_ref[0, e, 2]
+        t_best = t_scr[pl.ds(pt, 1), :]  # (1, PX)
+        closer = t_min < t_best
+        t_scr[pl.ds(pt, 1), :] = jnp.where(closer, t_min, t_best)
+        # attribute resolve: 16 sublane reductions (TC,PX) -> (1,PX);
+        # the ones column (15) normalizes exact in-chunk ties
+        s_one = jnp.sum(oh * col(9 + 15), axis=0, keepdims=True)
+        inv_n = 1.0 / jnp.maximum(s_one, 1.0)
+        for k_ in range(16):
+            sel = jnp.sum(oh * col(9 + k_), axis=0, keepdims=True) * inv_n
+            row = at_scr[pl.ds(k_ * n_tiles + pt, 1), :]
+            at_scr[pl.ds(k_ * n_tiles + pt, 1), :] = jnp.where(
+                closer, sel, row
             )
-            direction = ent_ref[0, e, 3]
-            sx, sy, sz = ent_ref[0, e, 4], ent_ref[0, e, 5], ent_ref[0, e, 6]
-            eheight = ent_ref[0, e, 7]
-            col_r, col_g, col_b = (
-                ent_ref[0, e, 8], ent_ref[0, e, 9], ent_ref[0, e, 10]
-            )
-            shape = ent_ref[0, e, 11]
-            active = ent_ref[0, e, 12] > 0.5
-
-            # sphere (Ball)
-            cx_, cy_, cz_ = px_, py_ + 0.5 * eheight, pz_
-            r_vis = 0.5 * eheight
-            ocx, ocy, ocz = ox - cx_, oy - cy_, oz - cz_
-            a = dx * dx + dy * dy + dz * dz
-            b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - r_vis * r_vis
-            disc = b * b - 4.0 * a * cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_sph = (-b - sq) / (2.0 * a)
-            sph_hit = (disc > 0.0) & (t_sph > NEAR) & (t_sph < FAR)
-            inv_r = 1.0 / jnp.maximum(r_vis, 1e-9)
-            nsx = (ocx + t_sph * dx) * inv_r
-            nsy = (ocy + t_sph * dy) * inv_r
-            nsz = (ocz + t_sph * dz) * inv_r
-
-            # oriented box: ax=(cd,0,-sd), ay=(0,1,0), az=(sd,0,cd)
-            cd, sd = jnp.cos(direction), jnp.sin(direction)
-            orx, ory, orz = ox - px_, oy - py_, oz - pz_
-            olx = orx * cd - orz * sd
-            oly = ory
-            olz = orx * sd + orz * cd
-            dlx = dx * cd - dz * sd
-            dly = dy
-            dlz = dx * sd + dz * cd
-
-            def slab(o_l, d_l, lo, hi):
-                safe = jnp.where(jnp.abs(d_l) < 1e-9, 1e-9, d_l)
-                t1 = (lo - o_l) / safe
-                t2 = (hi - o_l) / safe
-                return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
-
-            tx_lo, tx_hi = slab(olx, dlx, -sx * 0.5, sx * 0.5)
-            ty_lo, ty_hi = slab(oly, dly, 0.0, sy)
-            tz_lo, tz_hi = slab(olz, dlz, -sz * 0.5, sz * 0.5)
-            t_in = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
-            t_out = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
-            box_hit = (t_in <= t_out) & (t_in > NEAR) & (t_in < FAR)
-            wx = (tx_lo == t_in).astype(jnp.float32)
-            wy = (ty_lo == t_in).astype(jnp.float32) * (1.0 - wx)
-            wz = (tz_lo == t_in).astype(jnp.float32) * (1.0 - wx) * (1.0 - wy)
-            sign = -jnp.sign(wx * dlx + wy * dly + wz * dlz)
-            nbx = sign * (wx * cd + wz * sd)
-            nby = sign * wy
-            nbz = sign * (-wx * sd + wz * cd)
-
-            is_sphere = shape == float(SHAPE_SPHERE)
-            t_e = jnp.where(is_sphere, t_sph, t_in)
-            hit_e = active & (
-                (is_sphere & sph_hit) | (~is_sphere & box_hit)
-            )
-            n_ex = jnp.where(is_sphere, nsx, nbx)
-            n_ey = jnp.where(is_sphere, nsy, nby)
-            n_ez = jnp.where(is_sphere, nsz, nbz)
-
-            closer = hit_e & (t_e < t_best)
-            return (
-                jnp.where(closer, t_e, t_best),
-                jnp.where(closer, col_r, cr),
-                jnp.where(closer, col_g, cg),
-                jnp.where(closer, col_b, cb),
-                jnp.where(closer, n_ex, nx),
-                jnp.where(closer, n_ey, ny),
-                jnp.where(closer, n_ez, nz),
-            )
-
-        init_ent = (jnp.full((1, PX), jnp.inf, jnp.float32),) + (zrow,) * 6
-        t_ent, ecr, ecg, ecb, enx, eny, enz = jax.lax.fori_loop(
-            0, num_ents, ent_body, init_ent
-        )
-
-        # ---- texture (Fourier); attr = [A(6)|b(2)|n(3)|col(3)|slot|1]
-        t_uv = jnp.where(t_tri < jnp.inf, t_tri, 0.0)
-        hx = ox + t_uv * dx
-        hy = oy + t_uv * dy
-        hz = oz + t_uv * dz
-        ub = attr[0] * hx + attr[1] * hy + attr[2] * hz + attr[6]
-        vb = attr[3] * hx + attr[4] * hy + attr[5] * hz + attr[7]
-        slot = jnp.round(attr[14]).astype(jnp.int32)  # (1,PX)
-        n_slots = coef_ref.shape[2]
-        oh_slot = (
-            slot
-            == jax.lax.broadcasted_iota(jnp.int32, (n_slots, PX), 0)
-        ).astype(jnp.float32)  # (T, PX)
-        # per-pixel coefficient rows: (D, T) @ (T, PX) -> (D, PX)
-        ce = jax.lax.dot_general(
-            coef_ref[0], oh_slot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        k = k_terms
-        fu = ce[3:3 + k]
-        fv = ce[3 + k:3 + 2 * k]
-        a0 = 3 + 2 * k
-        arg = (2.0 * math.pi) * (fu * ub + fv * vb)  # (K, PX)
-        ca, sa = jnp.cos(arg), jnp.sin(arg)
-        textured = (slot >= 0).astype(jnp.float32)
-
-        def tex_ch(ch):
-            t = ce[ch:ch + 1] + jnp.sum(
-                ce[a0 + ch * k:a0 + (ch + 1) * k] * ca
-                + ce[a0 + (3 + ch) * k:a0 + (4 + ch) * k] * sa,
-                axis=0, keepdims=True,
-            )
-            t = jnp.clip(t, 0.0, 1.0)
-            return textured * t + (1.0 - textured)
-
-        tex_r, tex_g, tex_b = tex_ch(0), tex_ch(1), tex_ch(2)
-
-        # ---- merge + shade ----------------------------------------------
-        ent_wins = t_ent < t_tri
-        t_hit = jnp.where(ent_wins, t_ent, t_tri)
-        cr = jnp.where(ent_wins, ecr, attr[11] * tex_r)
-        cg = jnp.where(ent_wins, ecg, attr[12] * tex_g)
-        cb = jnp.where(ent_wins, ecb, attr[13] * tex_b)
-        nx = jnp.where(ent_wins, enx, attr[8])
-        ny = jnp.where(ent_wins, eny, attr[9])
-        nz = jnp.where(ent_wins, enz, attr[10])
-
-        hit = t_hit < jnp.inf
-        t_safe = jnp.where(hit, t_hit, FAR)
-        lvx = u(17) - (ox + t_safe * dx)
-        lvy = u(18) - (oy + t_safe * dy)
-        lvz = u(19) - (oz + t_safe * dz)
-        l_norm = jax.lax.rsqrt(
-            jnp.maximum(lvx * lvx + lvy * lvy + lvz * lvz, 1e-18)
-        )
-        ndotl = jnp.maximum((nx * lvx + ny * lvy + nz * lvz) * l_norm, 0.0)
-
-        def shade_ch(base, light_c, amb_c, sky_c):
-            lit = jnp.clip(
-                GL_GLOBAL_AMBIENT + amb_c + light_c * ndotl, 0.0, 1.0
-            )
-            v = jnp.where(hit, base * lit, sky_c + 0.0 * ndotl)
-            return (
-                jnp.clip(v * 255.0, 0.0, 255.0)
-                .astype(jnp.int32)
-                .astype(jnp.uint32)
-            )
-
-        r8 = shade_ch(cr, u(20), u(23), u(14))
-        g8 = shade_ch(cg, u(21), u(24), u(15))
-        b8 = shade_ch(cb, u(22), u(25), u(16))
-
-        packed = r8 | (g8 << 8) | (b8 << 16) | jnp.uint32(0xFF000000)
-        rgba_ref[0, pt] = packed.reshape(PX)
-        depth_ref[0, pt] = t_safe.reshape(PX)
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, render_tile, 0)
+    jax.lax.fori_loop(0, n_tiles, chunk_tile, 0)
+
+    # ---- finalize: entities + texture + shade, once per env ------------
+    @pl.when(ci == n_sched - 1)
+    def _finalize():
+        def fin_tile(pt, _):
+            dx, dy, dz = ray_rows(pt)
+            t_tri = t_scr[pl.ds(pt, 1), :]
+
+            def at(k):
+                return at_scr[pl.ds(k * n_tiles + pt, 1), :]
+
+            # ---- entity pass (component-wise on (1,PX) rows) -----------
+            def ent_body(e, carry):
+                t_best, cr, cg, cb, nx, ny, nz = carry
+                px_, py_, pz_ = (
+                    ent_ref[0, e, 0], ent_ref[0, e, 1], ent_ref[0, e, 2]
+                )
+                direction = ent_ref[0, e, 3]
+                sx, sy, sz = (
+                    ent_ref[0, e, 4], ent_ref[0, e, 5], ent_ref[0, e, 6]
+                )
+                eheight = ent_ref[0, e, 7]
+                col_r, col_g, col_b = (
+                    ent_ref[0, e, 8], ent_ref[0, e, 9], ent_ref[0, e, 10]
+                )
+                shape = ent_ref[0, e, 11]
+                active = ent_ref[0, e, 12] > 0.5
+
+                # sphere (Ball)
+                cx_, cy_, cz_ = px_, py_ + 0.5 * eheight, pz_
+                r_vis = 0.5 * eheight
+                ocx, ocy, ocz = ox - cx_, oy - cy_, oz - cz_
+                a = dx * dx + dy * dy + dz * dz
+                b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r_vis * r_vis
+                disc = b * b - 4.0 * a * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t_sph = (-b - sq) / (2.0 * a)
+                sph_hit = (disc > 0.0) & (t_sph > NEAR) & (t_sph < FAR)
+                inv_r = 1.0 / jnp.maximum(r_vis, 1e-9)
+                nsx = (ocx + t_sph * dx) * inv_r
+                nsy = (ocy + t_sph * dy) * inv_r
+                nsz = (ocz + t_sph * dz) * inv_r
+
+                # oriented box: ax=(cd,0,-sd), ay=(0,1,0), az=(sd,0,cd)
+                cd, sd = jnp.cos(direction), jnp.sin(direction)
+                orx, ory, orz = ox - px_, oy - py_, oz - pz_
+                olx = orx * cd - orz * sd
+                oly = ory
+                olz = orx * sd + orz * cd
+                dlx = dx * cd - dz * sd
+                dly = dy
+                dlz = dx * sd + dz * cd
+
+                def slab(o_l, d_l, lo, hi):
+                    safe = jnp.where(jnp.abs(d_l) < 1e-9, 1e-9, d_l)
+                    t1 = (lo - o_l) / safe
+                    t2 = (hi - o_l) / safe
+                    return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+                tx_lo, tx_hi = slab(olx, dlx, -sx * 0.5, sx * 0.5)
+                ty_lo, ty_hi = slab(oly, dly, 0.0, sy)
+                tz_lo, tz_hi = slab(olz, dlz, -sz * 0.5, sz * 0.5)
+                t_in = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
+                t_out = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
+                box_hit = (t_in <= t_out) & (t_in > NEAR) & (t_in < FAR)
+                wx = (tx_lo == t_in).astype(jnp.float32)
+                wy = (ty_lo == t_in).astype(jnp.float32) * (1.0 - wx)
+                wz = (
+                    (tz_lo == t_in).astype(jnp.float32)
+                    * (1.0 - wx) * (1.0 - wy)
+                )
+                sign = -jnp.sign(wx * dlx + wy * dly + wz * dlz)
+                nbx = sign * (wx * cd + wz * sd)
+                nby = sign * wy
+                nbz = sign * (-wx * sd + wz * cd)
+
+                is_sphere = shape == float(SHAPE_SPHERE)
+                t_e = jnp.where(is_sphere, t_sph, t_in)
+                hit_e = active & (
+                    (is_sphere & sph_hit) | (~is_sphere & box_hit)
+                )
+                closer = hit_e & (t_e < t_best)
+                return (
+                    jnp.where(closer, t_e, t_best),
+                    jnp.where(closer, col_r, cr),
+                    jnp.where(closer, col_g, cg),
+                    jnp.where(closer, col_b, cb),
+                    jnp.where(closer, jnp.where(is_sphere, nsx, nbx), nx),
+                    jnp.where(closer, jnp.where(is_sphere, nsy, nby), ny),
+                    jnp.where(closer, jnp.where(is_sphere, nsz, nbz), nz),
+                )
+
+            zrow = jnp.zeros((1, PX), jnp.float32)
+            init_ent = (jnp.full((1, PX), jnp.inf, jnp.float32),) + (zrow,) * 6
+            t_ent, ecr, ecg, ecb, enx, eny, enz = jax.lax.fori_loop(
+                0, num_ents, ent_body, init_ent
+            )
+
+            # ---- texture (Fourier);
+            # attr = [A(6)|b(2)|n(3)|col(3)|atlas_slot|1]
+            t_uv = jnp.where(t_tri < jnp.inf, t_tri, 0.0)
+            hx = ox + t_uv * dx
+            hy = oy + t_uv * dy
+            hz = oz + t_uv * dz
+            ub = at(0) * hx + at(1) * hy + at(2) * hz + at(6)
+            vb = at(3) * hx + at(4) * hy + at(5) * hz + at(7)
+            slot = jnp.round(at(14)).astype(jnp.int32)  # (1, PX)
+            n_slots = coef_ref.shape[1]
+            oh_slot = (
+                slot
+                == jax.lax.broadcasted_iota(jnp.int32, (n_slots, PX), 0)
+            ).astype(jnp.float32)  # (A, PX)
+            # per-pixel coefficient rows: (D, A) @ (A, PX) -> (D, PX)
+            ce = jax.lax.dot_general(
+                coef_ref[:, :], oh_slot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            k = k_terms
+            fu = ce[3:3 + k]
+            fv = ce[3 + k:3 + 2 * k]
+            a0 = 3 + 2 * k
+            arg = (2.0 * math.pi) * (fu * ub + fv * vb)  # (K, PX)
+            # frequency-space anti-aliasing, identical to the XLA
+            # eval_fourier: attenuate each term by a rational low-pass
+            # in (freq x uv-space pixel footprint)
+            amap2 = (
+                at(0) * at(0) + at(1) * at(1) + at(2) * at(2)
+                + at(3) * at(3) + at(4) * at(4) + at(5) * at(5)
+            )
+            pix_angle = tan_y * (2.0 / height)
+            foot2 = (t_uv * pix_angle) * (t_uv * pix_angle) * (0.5 * amap2)
+            f2 = fu * fu + fv * fv  # (K, PX)
+            att = 1.0 / (1.0 + (math.pi ** 2) * f2 * foot2)
+            ca, sa = jnp.cos(arg) * att, jnp.sin(arg) * att
+            textured = (slot >= 0).astype(jnp.float32)
+
+            def tex_ch(ch):
+                t = ce[ch:ch + 1] + jnp.sum(
+                    ce[a0 + ch * k:a0 + (ch + 1) * k] * ca
+                    + ce[a0 + (3 + ch) * k:a0 + (4 + ch) * k] * sa,
+                    axis=0, keepdims=True,
+                )
+                t = jnp.clip(t, 0.0, 1.0)
+                return textured * t + (1.0 - textured)
+
+            tex_r, tex_g, tex_b = tex_ch(0), tex_ch(1), tex_ch(2)
+
+            # ---- merge + shade -----------------------------------------
+            ent_wins = t_ent < t_tri
+            t_hit = jnp.where(ent_wins, t_ent, t_tri)
+            cr = jnp.where(ent_wins, ecr, at(11) * tex_r)
+            cg = jnp.where(ent_wins, ecg, at(12) * tex_g)
+            cb = jnp.where(ent_wins, ecb, at(13) * tex_b)
+            nx = jnp.where(ent_wins, enx, at(8))
+            ny = jnp.where(ent_wins, eny, at(9))
+            nz = jnp.where(ent_wins, enz, at(10))
+
+            hit = t_hit < jnp.inf
+            t_safe = jnp.where(hit, t_hit, FAR)
+            lvx = u(17) - (ox + t_safe * dx)
+            lvy = u(18) - (oy + t_safe * dy)
+            lvz = u(19) - (oz + t_safe * dz)
+            l_norm = jax.lax.rsqrt(
+                jnp.maximum(lvx * lvx + lvy * lvy + lvz * lvz, 1e-18)
+            )
+            ndotl = jnp.maximum(
+                (nx * lvx + ny * lvy + nz * lvz) * l_norm, 0.0
+            )
+
+            def shade_ch(base, light_c, amb_c, sky_c):
+                lit = jnp.clip(
+                    GL_GLOBAL_AMBIENT + amb_c + light_c * ndotl, 0.0, 1.0
+                )
+                v = jnp.where(hit, base * lit, sky_c + 0.0 * ndotl)
+                return (
+                    jnp.clip(v * 255.0, 0.0, 255.0)
+                    .astype(jnp.int32)
+                    .astype(jnp.uint32)
+                )
+
+            r8 = shade_ch(cr, u(20), u(23), u(14))
+            g8 = shade_ch(cg, u(21), u(24), u(15))
+            b8 = shade_ch(cb, u(22), u(25), u(16))
+
+            packed = r8 | (g8 << 8) | (b8 << 16) | jnp.uint32(0xFF000000)
+            rgba_ref[0, pt] = packed.reshape(PX)
+            depth_ref[0, pt] = t_safe.reshape(PX)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, fin_tile, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "k_terms"),
+    static_argnames=("width", "height", "k_terms", "tri_chunk", "interpret"),
 )
 def render_batch_pallas(
     layout_ids,  # (B,) i32
-    tri_verts,   # (L, S, 3, 3) f32
-    tri_attr,    # (L, S, 16) f32
+    sched,       # (B, NS) i32 scheduled chunk indices
+    tri_pack,    # (L, S_pad, 32) f32 (pack_tri_bank)
     uniforms,    # (B, 1, 32) f32
     ent_attr,    # (B, E, 16) f32
-    coeffs,      # (B, T, D) f32
+    coeffs,      # (A, D) f32 shared Fourier atlas
     *,
     width: int,
     height: int,
     k_terms: int,
+    tri_chunk: int,
+    interpret: bool = False,
 ):
     """Render B envs. Returns rgb (B,H,W,3) u8 and depth (B,H,W,1) f32."""
     b = layout_ids.shape[0]
-    s = tri_verts.shape[1]
+    n_sched = sched.shape[1]
     e = ent_attr.shape[1]
     hw = width * height
     pxpad = _round_up(hw, PX)
     n_tiles = pxpad // PX
 
-    # triangle pack: (L, S_pad, 32), triangles in sublanes.
-    s_pad = _round_up(s, TRI_CHUNK)
-    tri_pack = jnp.concatenate(
-        [tri_verts.reshape(tri_verts.shape[0], s, 9), tri_attr], axis=2
-    )  # (L, S, 25)
-    tri_pack = jnp.pad(tri_pack, ((0, 0), (0, s_pad - s), (0, 7)))
-
-    coeffs_t = coeffs.transpose(0, 2, 1)  # (B, D, T)
+    coeffs_t = coeffs.T  # (D, A)
 
     kernel = functools.partial(
         _kernel,
         width=width, height=height, k_terms=k_terms,
-        num_tris=s_pad, num_ents=e, n_tiles=n_tiles,
+        tri_chunk=tri_chunk, num_ents=e, n_tiles=n_tiles,
+        n_sched=n_sched,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
+        num_scalar_prefetch=2,
+        grid=(b, n_sched),
         in_specs=[
             pl.BlockSpec(
-                (1, s_pad, 32), lambda bi, lids: (lids[bi], 0, 0),
+                (1, tri_chunk, 32),
+                lambda bi, ci, lids, sch: (lids[bi], sch[bi, ci], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 32), lambda bi, lids: (bi, 0, 0),
+                (1, 1, 32), lambda bi, ci, lids, sch: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, ent_attr.shape[1], 16), lambda bi, lids: (bi, 0, 0),
+                (1, e, 16), lambda bi, ci, lids, sch: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, coeffs_t.shape[1], coeffs_t.shape[2]),
-                lambda bi, lids: (bi, 0, 0),
+                coeffs_t.shape, lambda bi, ci, lids, sch: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_tiles, PX), lambda bi, lids: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles, PX), lambda bi, lids: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n_tiles, PX), lambda bi, ci, lids, sch: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_tiles, PX), lambda bi, ci, lids, sch: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_tiles, PX), jnp.float32),
+            pltpu.VMEM((16 * n_tiles, PX), jnp.float32),
         ],
     )
 
@@ -411,7 +464,8 @@ def render_batch_pallas(
             jax.ShapeDtypeStruct((b, n_tiles, PX), jnp.uint32),
             jax.ShapeDtypeStruct((b, n_tiles, PX), jnp.float32),
         ],
-    )(layout_ids, tri_pack, uniforms, ent_attr, coeffs_t)
+        interpret=interpret,
+    )(layout_ids, sched, tri_pack, uniforms, ent_attr, coeffs_t)
 
     rgba = rgba.reshape(b, pxpad)[:, :hw]
     depth = depth.reshape(b, pxpad)[:, :hw]
@@ -424,3 +478,17 @@ def render_batch_pallas(
         axis=-1,
     ).reshape(b, height, width, 3)
     return rgb, depth.reshape(b, height, width, 1)
+
+
+def pack_tri_bank(verts9, attr, tri_chunk: int):
+    """Host-side: (L, 9, S) verts9 + (L, S, 16) attrs -> (L, S_pad, 32)
+    kernel pack, chunk-aligned. The attr slot column must already hold
+    ATLAS indices (MiniWorldVec bakes it when domain_rand is off)."""
+    import numpy as np
+
+    L, _, S = verts9.shape
+    s_pad = _round_up(S, tri_chunk)
+    pack = np.zeros((L, s_pad, 32), np.float32)
+    pack[:, :S, 0:9] = np.transpose(verts9, (0, 2, 1))
+    pack[:, :S, 9:25] = attr
+    return pack

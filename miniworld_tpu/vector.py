@@ -300,7 +300,8 @@ def lay_view(bank: Layout, layout_id) -> Layout:
         arr = getattr(bank, f.name)
         if arr is None:  # optional packed-PVS fields
             out[f.name] = None
-        elif f.name in _TRI_FIELDS or f.name.startswith("pvs_"):
+        elif (f.name in _TRI_FIELDS or f.name.startswith("pvs_")
+              or f.name == "pallas_pack"):
             out[f.name] = arr[0, :0]
         else:
             out[f.name] = arr[layout_id]
@@ -372,12 +373,13 @@ class MiniWorldVec:
         if fourier_k is None:  # spec override, else global default
             fourier_k = getattr(spec, "fourier_k", 0) or FOURIER_TERMS
         self.fourier_k = fourier_k
-        # The XLA raycaster is the default everywhere: the experimental
-        # fused Pallas kernel (render/pallas_kernel2.py) is currently
-        # SLOWER than XLA on v5e (105-144ms vs 60ms per 1024-env step;
-        # Mosaic's lowering of the per-pixel working set dominates) and
-        # is kept for further kernel work, opt-in via
-        # render_backend="pallas".
+        # The XLA raycaster is the default everywhere; the fused Pallas
+        # kernel (render/pallas_kernel2.py, opt-in via
+        # render_backend="pallas") was reworked in round 2 to consume
+        # the SAME per-env chunk schedules as the XLA path (its round-1
+        # whole-bank form lost 105-144ms vs 60ms at B=1024 largely to
+        # padding waste and missing culling) and keeps the z/attr carry
+        # in VMEM scratch instead of streaming it through HBM.
         if render_backend == "auto":
             render_backend = "xla"
         assert render_backend in ("pallas", "xla"), render_backend
@@ -387,45 +389,44 @@ class MiniWorldVec:
         # chunks visible from the camera's room, with a static worst-case
         # schedule length. Exact — culled renders are pixel-identical.
         self._pvs_packed = False
-        if render_backend != "pallas":
-            _, chunks_k, chunks_bound = plan_culling(bank_np, self.tri_chunk)
-            chunks_cost = (
-                chunks_bound * (chunks_k + _CHUNK_OVERHEAD_TRIS)
-                if chunks_bound is not None
-                else (-(-bank_np.tri_mask.shape[1] // chunks_k))
-                * (chunks_k + _CHUNK_OVERHEAD_TRIS)
-            )
-            packed, packed_k, packed_sched, packed_cost, orig_pos = (
-                plan_packed_pvs(bank_np, self.tri_chunk)
-            )
-            if packed is not None and packed_cost < chunks_cost:
-                # packed per-room PVS mode: duplicated contiguous
-                # visible sets; schedule = room_base + arange
-                import dataclasses as _dc
+        _, chunks_k, chunks_bound = plan_culling(bank_np, self.tri_chunk)
+        chunks_cost = (
+            chunks_bound * (chunks_k + _CHUNK_OVERHEAD_TRIS)
+            if chunks_bound is not None
+            else (-(-bank_np.tri_mask.shape[1] // chunks_k))
+            * (chunks_k + _CHUNK_OVERHEAD_TRIS)
+        )
+        packed, packed_k, packed_sched, packed_cost, orig_pos = (
+            plan_packed_pvs(bank_np, self.tri_chunk)
+        )
+        if packed is not None and packed_cost < chunks_cost:
+            # packed per-room PVS mode: duplicated contiguous
+            # visible sets; schedule = room_base + arange
+            import dataclasses as _dc
 
-                self.tri_chunk = packed_k
-                bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
-                bank_np = _dc.replace(bank_np, **packed)
-                self._pvs_packed = True
-                self._sched_len = packed_sched
-                self._pvs_orig_pos = orig_pos
-            else:
-                self.tri_chunk = chunks_k
-                # never pad the bank BEYOND its natural triangle count (a
-                # 112-chunk on Hallway's 56 triangles would double the scan)
-                self.tri_chunk = min(self.tri_chunk, bank_np.tri_mask.shape[1])
-                # align chunks (and the per-tri state row view) to the bank
-                bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
-                chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
-                n_chunks = chunk_vis.shape[1]
-                bound = 1
-                for li in range(chunk_vis.shape[0]):
-                    counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
-                    if counts.size:
-                        bound = max(bound, int(counts.max()))
-                if bound < n_chunks:
-                    self._chunk_vis = jnp.asarray(chunk_vis)
-                    self._sched_len = bound
+            self.tri_chunk = packed_k
+            bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
+            bank_np = _dc.replace(bank_np, **packed)
+            self._pvs_packed = True
+            self._sched_len = packed_sched
+            self._pvs_orig_pos = orig_pos
+        else:
+            self.tri_chunk = chunks_k
+            # never pad the bank BEYOND its natural triangle count (a
+            # 112-chunk on Hallway's 56 triangles would double the scan)
+            self.tri_chunk = min(self.tri_chunk, bank_np.tri_mask.shape[1])
+            # align chunks (and the per-tri state row view) to the bank
+            bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
+            chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
+            n_chunks = chunk_vis.shape[1]
+            bound = 1
+            for li in range(chunk_vis.shape[0]):
+                counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
+                if counts.size:
+                    bound = max(bound, int(counts.max()))
+            if bound < n_chunks:
+                self._chunk_vis = jnp.asarray(chunk_vis)
+                self._sched_len = bound
         if tex_mode == "fourier" and not domain_rand:
             # Without domain_rand every slot renders variant 0, so the
             # per-tri atlas index is static: bake it into the attr slot
@@ -443,6 +444,34 @@ class MiniWorldVec:
                 pa[:, :, 14] = bank_np.pvs_tri_tex_base
                 repl["pvs_attr"] = pa
             bank_np = _dc.replace(bank_np, **repl)
+        if render_backend == "pallas":
+            # the kernel reads the baked atlas index from the attr slot
+            # column and intersects sphere/box entities analytically —
+            # gate the modes it cannot reproduce (see pallas_kernel2
+            # docstring)
+            import dataclasses as _dc
+
+            from miniworld_tpu.render.pallas_kernel2 import pack_tri_bank
+
+            if tex_mode != "fourier" or domain_rand:
+                raise ValueError(
+                    "render_backend='pallas' requires tex_mode='fourier' "
+                    "with domain_rand off (the kernel reads baked atlas "
+                    "indices from the attr slot column)"
+                )
+            assert self.tri_chunk % 8 == 0, (
+                f"pallas tri_chunk must be sublane-aligned, got "
+                f"{self.tri_chunk}"
+            )
+            if self._pvs_packed:
+                pack = pack_tri_bank(
+                    bank_np.pvs_verts9, bank_np.pvs_attr, self.tri_chunk
+                )
+            else:
+                pack = pack_tri_bank(
+                    bank_np.tri_verts9, bank_np.tri_attr, self.tri_chunk
+                )
+            bank_np = _dc.replace(bank_np, pallas_pack=pack)
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
@@ -469,6 +498,19 @@ class MiniWorldVec:
             bool(((shp == SHAPE_BOX) | (shp == SHAPE_MESH_BOX)).any()),
             bool((shp == SHAPE_MESH_TRIS).any()),
         )
+        if render_backend == "pallas":
+            if self._shapes_present[2]:
+                raise ValueError(
+                    "render_backend='pallas' does not support dynamic-"
+                    "mesh entity protos (keys/duckies/medkits); use the "
+                    "XLA backend for this env class"
+                )
+            if self._tex_has_gain:
+                raise ValueError(
+                    "render_backend='pallas' does not support glyph-"
+                    "gain textures (TextFrame/Sign envs); use the XLA "
+                    "backend for this env class"
+                )
 
         if spec.discrete_actions is not None:
             self._action_table = jnp.asarray(spec.discrete_actions)
@@ -777,6 +819,9 @@ class MiniWorldVec:
             )
         from miniworld_tpu.ops import geom
         from miniworld_tpu.render.pallas_kernel2 import render_batch_pallas
+        from miniworld_tpu.render.raycast import (
+            chunk_schedule, room_of_point,
+        )
 
         def pack_one(s):
             fwd, up, right = geom.cam_basis(s.dir, s.cam_pitch)
@@ -807,15 +852,51 @@ class MiniWorldVec:
             ent = ent.at[:, 11].set(shape.astype(jnp.float32))
             ent = ent.at[:, 12].set(active.astype(jnp.float32))
 
-            coeffs_env = atlas[s.tex_map]
-            return uni, ent, coeffs_env
+            return uni, ent
 
-        uniforms, ent_attr, coeffs = jax.vmap(pack_one)(state)
+        uniforms, ent_attr = jax.vmap(pack_one)(state)
+
+        # per-env chunk schedule, identical to the XLA path's
+        n_chunks = bank.pallas_pack.shape[1] // self.tri_chunk
+        lid = state.layout_id
+        if self._pvs_packed:
+            def sched_one(s):
+                origin = geom.cam_position(
+                    s.pos, s.dir, s.cam_height, s.cam_fwd_disp
+                )
+                room = room_of_point(
+                    bank, s.layout_id, origin[jnp.array([0, 2])]
+                )
+                base = bank.pvs_room_base[s.layout_id, room]
+                return base + jnp.arange(self._sched_len, dtype=jnp.int32)
+
+            sched = jax.vmap(sched_one)(state)
+        elif self._chunk_vis is not None:
+            def sched_one(s):
+                origin = geom.cam_position(
+                    s.pos, s.dir, s.cam_height, s.cam_fwd_disp
+                )
+                return chunk_schedule(
+                    bank, self._chunk_vis, s.layout_id, origin,
+                    self._sched_len,
+                )
+
+            sched = jax.vmap(sched_one)(state)
+        else:
+            sched = jnp.broadcast_to(
+                jnp.arange(n_chunks, dtype=jnp.int32),
+                (lid.shape[0], n_chunks),
+            )
+        sched = jnp.clip(sched, 0, n_chunks - 1)
+
         rgb, depth = render_batch_pallas(
-            state.layout_id, bank.tri_verts, bank.tri_attr,
-            uniforms[:, None, :], ent_attr, coeffs,
+            lid, sched, bank.pallas_pack,
+            uniforms[:, None, :], ent_attr, atlas,
             width=self.obs_width, height=self.obs_height,
-            k_terms=self.fourier_k,
+            k_terms=self.fourier_k, tri_chunk=self.tri_chunk,
+            # Mosaic only lowers on TPU; tests exercise the kernel
+            # through the interpreter on the forced-CPU backend
+            interpret=jax.default_backend() == "cpu",
         )
         return jax.vmap(self._wrap_obs_one)(rgb, depth, state)
 

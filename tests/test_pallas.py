@@ -1,0 +1,82 @@
+"""Fused Pallas kernel vs the XLA raycaster (interpreter on CPU).
+
+The kernel (render/pallas_kernel2.py) must reproduce the XLA path's
+images on its supported env classes — fourier textures, dr off,
+sphere/box entities — through every schedule mode: full scan
+(Hallway), and packed per-room PVS (Maze). Small tolerance: the
+kernel's in-chunk attribute reduction uses a different summation
+order, so isolated edge/tie pixels may round differently.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miniworld_tpu.envs import make_spec
+from miniworld_tpu.vector import MiniWorldVec
+
+W, H = 48, 36
+
+
+def _compare(env_x, env_p, steps=3, frac_tol=0.01, seed=0):
+    key = jax.random.key(seed)
+    sx, (ox, dx) = env_x.reset(key)
+    sp, (op, dp) = env_p.reset(key)
+    frames = [(ox, dx, op, dp)]
+    k_act = jax.random.key(seed + 1)
+    for _ in range(steps):
+        k_act, k = jax.random.split(k_act)
+        acts = env_x.sample_actions(k)
+        sx, (ox, dx), *_ = env_x.step(sx, acts)
+        sp, (op, dp), *_ = env_p.step(sp, acts)
+        frames.append((ox, dx, op, dp))
+    for i, (ox, dx, op, dp) in enumerate(frames):
+        rgb_x = np.asarray(ox, np.int32)
+        rgb_p = np.asarray(op, np.int32)
+        diff = np.abs(rgb_x - rgb_p)
+        frac = float((diff > 2).mean())
+        assert frac < frac_tol, (i, frac, diff.max())
+        d_x, d_p = np.asarray(dx), np.asarray(dp)
+        dfrac = float((np.abs(d_x - d_p) > 1e-3).mean())
+        assert dfrac < frac_tol, (i, dfrac)
+
+
+def test_pallas_matches_xla_fullscan():
+    kw = dict(num_envs=2, obs_width=W, obs_height=H)
+    env_x = MiniWorldVec("MiniWorld-Hallway-v0", **kw)
+    env_p = MiniWorldVec("MiniWorld-Hallway-v0", render_backend="pallas",
+                         **kw)
+    assert not env_p._pvs_packed and env_p._chunk_vis is None
+    _compare(env_x, env_p)
+
+
+def test_pallas_matches_xla_packed_pvs():
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
+                               num_layouts=2)
+    kw = dict(num_envs=2, obs_width=W, obs_height=H, bank_seed=3)
+    env_x = MiniWorldVec(spec, **kw)
+    env_p = MiniWorldVec(spec, render_backend="pallas", **kw)
+    assert env_p._pvs_packed
+    _compare(env_x, env_p)
+
+
+def test_pallas_entities():
+    """Box + ball entities intersect analytically in the kernel."""
+    kw = dict(num_envs=2, obs_width=W, obs_height=H)
+    env_x = MiniWorldVec("MiniWorld-PutNext-v0", **kw)
+    env_p = MiniWorldVec("MiniWorld-PutNext-v0", render_backend="pallas",
+                         **kw)
+    _compare(env_x, env_p, frac_tol=0.02)
+
+
+def test_pallas_rejects_unsupported():
+    with pytest.raises(ValueError, match="mesh"):
+        MiniWorldVec("MiniWorld-PickupObjects-v0", num_envs=2,
+                     obs_width=W, obs_height=H, render_backend="pallas")
+    with pytest.raises(ValueError, match="domain_rand"):
+        MiniWorldVec("MiniWorld-Hallway-v0", num_envs=2, obs_width=W,
+                     obs_height=H, domain_rand=True,
+                     render_backend="pallas")
