@@ -44,9 +44,12 @@ duplicate geometry; schedule-clamp repeat chunks re-present identical
 triangles, where first-win == average).
 
 Scope (enforced by the vector layer's eligibility check): fourier
-textures with the atlas slot index baked into the attr slot column
-(i.e. domain_rand off — MiniWorldVec bakes it then), no glyph-gain
-textures, analytic sphere/box entities only (no dynamic-mesh protos).
+textures, no glyph-gain textures, analytic sphere/box entities only
+(no dynamic-mesh protos), no 2x2 supersampling. Texture-variant
+domain randomization IS supported: the pack carries per-tri slot
+id/base/count in columns 25-27 and the kernel resolves the episode's
+draws in-chunk with the same integer hash as the XLA path; with
+domain_rand off it reads the pre-baked atlas index column instead.
 
 Contracts:
   uniforms (B, 1, 32) f32 [SMEM]:
@@ -87,6 +90,7 @@ def _round_up(n, m):
 def _kernel(
     lids_ref,        # scalar prefetch (B,) i32
     sched_ref,       # scalar prefetch (B, NS) i32
+    keys_ref,        # scalar prefetch (B,) i32 — variant hash keys
     tri_ref,         # (1, TC, 32) VMEM — the scheduled chunk
     uni_ref,         # (1, 1, 32) SMEM
     ent_ref,         # (1, E, 16) SMEM
@@ -103,7 +107,9 @@ def _kernel(
     num_ents: int,
     n_tiles: int,
     n_sched: int,
+    dr_active: bool,
 ):
+    bi = pl.program_id(0)
     ci = pl.program_id(1)
 
     def u(k):
@@ -152,6 +158,23 @@ def _kernel(
     gvz = sx_ * e1y - sy_ * e1x
     t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC, 1)
 
+    if dr_active:
+        # per-episode texture-variant resolve, identical draws to the
+        # XLA path (raycast.hash01 of the env key and the tri's slot
+        # id): atlas index = base + min(floor(u * count), count - 1)
+        key = keys_ref[bi].astype(jnp.uint32)
+        ids = col(25).astype(jnp.int32).astype(jnp.uint32)  # (TC, 1)
+        x = ids * jnp.uint32(0x9E3779B9) ^ key
+        x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        u_t = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+        base, cnt = col(26), col(27)
+        offs = jnp.minimum(jnp.floor(u_t * cnt), cnt - 1.0)
+        slot_col = jnp.where(base >= 0.0, base + offs, -1.0)
+    else:
+        slot_col = col(9 + 14)  # baked atlas index
+
     def chunk_tile(pt, _):
         dx, dy, dz = ray_rows(pt)
 
@@ -182,7 +205,8 @@ def _kernel(
         s_one = jnp.sum(oh * col(9 + 15), axis=0, keepdims=True)
         inv_n = 1.0 / jnp.maximum(s_one, 1.0)
         for k_ in range(16):
-            sel = jnp.sum(oh * col(9 + k_), axis=0, keepdims=True) * inv_n
+            acol = slot_col if k_ == 14 else col(9 + k_)
+            sel = jnp.sum(oh * acol, axis=0, keepdims=True) * inv_n
             row = at_scr[pl.ds(k_ * n_tiles + pt, 1), :]
             at_scr[pl.ds(k_ * n_tiles + pt, 1), :] = jnp.where(
                 closer, sel, row
@@ -386,11 +410,14 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "k_terms", "tri_chunk", "interpret"),
+    static_argnames=(
+        "width", "height", "k_terms", "tri_chunk", "dr_active", "interpret",
+    ),
 )
 def render_batch_pallas(
     layout_ids,  # (B,) i32
     sched,       # (B, NS) i32 scheduled chunk indices
+    keys,        # (B,) i32 per-episode variant hash keys (0 if dr off)
     tri_pack,    # (L, S_pad, 32) f32 (pack_tri_bank)
     uniforms,    # (B, 1, 32) f32
     ent_attr,    # (B, E, 16) f32
@@ -400,6 +427,7 @@ def render_batch_pallas(
     height: int,
     k_terms: int,
     tri_chunk: int,
+    dr_active: bool = False,
     interpret: bool = False,
 ):
     """Render B envs. Returns rgb (B,H,W,3) u8 and depth (B,H,W,1) f32."""
@@ -416,38 +444,38 @@ def render_batch_pallas(
         _kernel,
         width=width, height=height, k_terms=k_terms,
         tri_chunk=tri_chunk, num_ents=e, n_tiles=n_tiles,
-        n_sched=n_sched,
+        n_sched=n_sched, dr_active=dr_active,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, n_sched),
         in_specs=[
             pl.BlockSpec(
                 (1, tri_chunk, 32),
-                lambda bi, ci, lids, sch: (lids[bi], sch[bi, ci], 0),
+                lambda bi, ci, lids, sch, keys: (lids[bi], sch[bi, ci], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 32), lambda bi, ci, lids, sch: (bi, 0, 0),
+                (1, 1, 32), lambda bi, ci, lids, sch, keys: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, e, 16), lambda bi, ci, lids, sch: (bi, 0, 0),
+                (1, e, 16), lambda bi, ci, lids, sch, keys: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                coeffs_t.shape, lambda bi, ci, lids, sch: (0, 0),
+                coeffs_t.shape, lambda bi, ci, lids, sch, keys: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, n_tiles, PX), lambda bi, ci, lids, sch: (bi, 0, 0),
+                (1, n_tiles, PX), lambda bi, ci, lids, sch, keys: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_tiles, PX), lambda bi, ci, lids, sch: (bi, 0, 0),
+                (1, n_tiles, PX), lambda bi, ci, lids, sch, keys: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -465,7 +493,7 @@ def render_batch_pallas(
             jax.ShapeDtypeStruct((b, n_tiles, PX), jnp.float32),
         ],
         interpret=interpret,
-    )(layout_ids, sched, tri_pack, uniforms, ent_attr, coeffs_t)
+    )(layout_ids, sched, keys, tri_pack, uniforms, ent_attr, coeffs_t)
 
     rgba = rgba.reshape(b, pxpad)[:, :hw]
     depth = depth.reshape(b, pxpad)[:, :hw]
@@ -480,10 +508,14 @@ def render_batch_pallas(
     return rgb, depth.reshape(b, height, width, 1)
 
 
-def pack_tri_bank(verts9, attr, tri_chunk: int):
+def pack_tri_bank(verts9, attr, tri_chunk: int, tex=None):
     """Host-side: (L, 9, S) verts9 + (L, S, 16) attrs -> (L, S_pad, 32)
-    kernel pack, chunk-aligned. The attr slot column must already hold
-    ATLAS indices (MiniWorldVec bakes it when domain_rand is off)."""
+    kernel pack, chunk-aligned. Without domain_rand the attr slot
+    column already holds ATLAS indices (MiniWorldVec bakes it); with
+    ``tex = (tri_tex, tri_tex_base, tri_tex_count)`` the pack also
+    carries the per-tri slot id / atlas base / variant count in columns
+    25-27 so the kernel can resolve the episode's variant draws
+    in-chunk (hash01 of the env's key)."""
     import numpy as np
 
     L, _, S = verts9.shape
@@ -491,4 +523,11 @@ def pack_tri_bank(verts9, attr, tri_chunk: int):
     pack = np.zeros((L, s_pad, 32), np.float32)
     pack[:, :S, 0:9] = np.transpose(verts9, (0, 2, 1))
     pack[:, :S, 9:25] = attr
+    if tex is not None:
+        tri_tex, base, count = tex
+        pack[:, :S, 25] = tri_tex.astype(np.float32)
+        pack[:, :S, 26] = base
+        pack[:, :S, 27] = count
+        pack[:, S:, 26] = -1.0
+        pack[:, S:, 27] = 1.0
     return pack

@@ -453,23 +453,27 @@ class MiniWorldVec:
 
             from miniworld_tpu.render.pallas_kernel2 import pack_tri_bank
 
-            if tex_mode != "fourier" or domain_rand:
+            if tex_mode != "fourier":
                 raise ValueError(
-                    "render_backend='pallas' requires tex_mode='fourier' "
-                    "with domain_rand off (the kernel reads baked atlas "
-                    "indices from the attr slot column)"
+                    "render_backend='pallas' requires tex_mode='fourier'"
                 )
             assert self.tri_chunk % 8 == 0, (
                 f"pallas tri_chunk must be sublane-aligned, got "
                 f"{self.tri_chunk}"
             )
             if self._pvs_packed:
+                tex = (bank_np.pvs_tri_tex, bank_np.pvs_tri_tex_base,
+                       bank_np.pvs_tri_tex_count) if domain_rand else None
                 pack = pack_tri_bank(
-                    bank_np.pvs_verts9, bank_np.pvs_attr, self.tri_chunk
+                    bank_np.pvs_verts9, bank_np.pvs_attr, self.tri_chunk,
+                    tex=tex,
                 )
             else:
+                tex = (bank_np.tri_tex, bank_np.tri_tex_base,
+                       bank_np.tri_tex_count) if domain_rand else None
                 pack = pack_tri_bank(
-                    bank_np.tri_verts9, bank_np.tri_attr, self.tri_chunk
+                    bank_np.tri_verts9, bank_np.tri_attr, self.tri_chunk,
+                    tex=tex,
                 )
             bank_np = _dc.replace(bank_np, pallas_pack=pack)
         self._bank_np = bank_np
@@ -510,6 +514,11 @@ class MiniWorldVec:
                     "render_backend='pallas' does not support glyph-"
                     "gain textures (TextFrame/Sign envs); use the XLA "
                     "backend for this env class"
+                )
+            if self.supersample != 1:
+                raise ValueError(
+                    "render_backend='pallas' does not implement the "
+                    "2x2 supersampling flag; use the XLA backend"
                 )
 
         if spec.discrete_actions is not None:
@@ -889,11 +898,15 @@ class MiniWorldVec:
             )
         sched = jnp.clip(sched, 0, n_chunks - 1)
 
+        keys = jax.lax.bitcast_convert_type(
+            state.tri_slots.astype(jnp.uint32), jnp.int32
+        )
         rgb, depth = render_batch_pallas(
-            lid, sched, bank.pallas_pack,
+            lid, sched, keys, bank.pallas_pack,
             uniforms[:, None, :], ent_attr, atlas,
             width=self.obs_width, height=self.obs_height,
             k_terms=self.fourier_k, tri_chunk=self.tri_chunk,
+            dr_active=self.domain_rand,
             # Mosaic only lowers on TPU; tests exercise the kernel
             # through the interpreter on the forced-CPU backend
             interpret=jax.default_backend() == "cpu",

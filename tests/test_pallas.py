@@ -72,11 +72,23 @@ def test_pallas_entities():
     _compare(env_x, env_p, frac_tol=0.02)
 
 
+def test_pallas_domain_rand():
+    """Texture-variant randomization resolves in-kernel from the env's
+    hash key with the exact draws of the XLA path."""
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
+                               num_layouts=2)
+    kw = dict(num_envs=2, obs_width=W, obs_height=H, bank_seed=3,
+              domain_rand=True)
+    env_x = MiniWorldVec(spec, **kw)
+    env_p = MiniWorldVec(spec, render_backend="pallas", **kw)
+    _compare(env_x, env_p, steps=2)
+
+
 def test_pallas_rejects_unsupported():
     with pytest.raises(ValueError, match="mesh"):
         MiniWorldVec("MiniWorld-PickupObjects-v0", num_envs=2,
                      obs_width=W, obs_height=H, render_backend="pallas")
-    with pytest.raises(ValueError, match="domain_rand"):
+    with pytest.raises(ValueError, match="supersampl"):
         MiniWorldVec("MiniWorld-Hallway-v0", num_envs=2, obs_width=W,
-                     obs_height=H, domain_rand=True,
+                     obs_height=H, supersample=2,
                      render_backend="pallas")
