@@ -44,12 +44,15 @@ duplicate geometry; schedule-clamp repeat chunks re-present identical
 triangles, where first-win == average).
 
 Scope (enforced by the vector layer's eligibility check): fourier
-textures, no glyph-gain textures, analytic sphere/box entities only
-(no dynamic-mesh protos), no 2x2 supersampling. Texture-variant
-domain randomization IS supported: the pack carries per-tri slot
+textures, no 2x2 supersampling. Everything else is covered:
+texture-variant domain randomization (the pack carries per-tri slot
 id/base/count in columns 25-27 and the kernel resolves the episode's
 draws in-chunk with the same integer hash as the XLA path; with
-domain_rand off it reads the pre-baked atlas index column instead.
+domain_rand off it reads the pre-baked atlas index column), dynamic
+mesh entities (world-space rows built by raycast.entity_mesh_rows
+arrive as a per-env pack and seed the carry at the first schedule
+step), and glyph-gain textures (Fourier-SDF threshold + contrast
+expansion, keyed on the table's trailing coefficient).
 
 Contracts:
   uniforms (B, 1, 32) f32 [SMEM]:
@@ -78,7 +81,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from miniworld_tpu.render.raycast import FAR, GL_GLOBAL_AMBIENT, NEAR
-from miniworld_tpu.scene.entities import SHAPE_SPHERE
+from miniworld_tpu.scene.entities import SHAPE_BOX, SHAPE_SPHERE
 
 PX = 128  # pixels per inner tile (one lane row)
 
@@ -95,6 +98,7 @@ def _kernel(
     uni_ref,         # (1, 1, 32) SMEM
     ent_ref,         # (1, E, 16) SMEM
     coef_ref,        # (D, A) VMEM (shared atlas, transposed)
+    mesh_ref,        # (1, EM_pad, 32) VMEM — dynamic mesh rows (or (1,8,32) dummy)
     rgba_ref,        # (1, NT, PX) VMEM out
     depth_ref,       # (1, NT, PX) VMEM out
     t_scr,           # (NT, PX) f32 scratch — z carry
@@ -107,7 +111,9 @@ def _kernel(
     num_ents: int,
     n_tiles: int,
     n_sched: int,
+    n_mesh_chunks: int,
     dr_active: bool,
+    has_gain: bool,
 ):
     bi = pl.program_id(0)
     ci = pl.program_id(1)
@@ -132,31 +138,91 @@ def _kernel(
         dz = u(5) + xs * u(11) + ys * u(8)
         return dx, dy, dz
 
+    def scan_rows(col, slot_override_col=None):
+        """Compete one (TC, 32) row block against every pixel tile's
+        carry. ``col(k)`` yields the block's column k as (TC, 1);
+        ``slot_override_col`` substitutes the attr slot column."""
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
+        e2x, e2y, e2z = col(6) - v0x, col(7) - v0y, col(8) - v0z
+        sx_, sy_, sz_ = ox - v0x, oy - v0y, oz - v0z
+
+        # g_det = e2 x e1; g_u = e2 x s; g_v = s x e1  (TC, 1) each
+        gdx = e2y * e1z - e2z * e1y
+        gdy = e2z * e1x - e2x * e1z
+        gdz = e2x * e1y - e2y * e1x
+        gux = e2y * sz_ - e2z * sy_
+        guy = e2z * sx_ - e2x * sz_
+        guz = e2x * sy_ - e2y * sx_
+        gvx = sy_ * e1z - sz_ * e1y
+        gvy = sz_ * e1x - sx_ * e1z
+        gvz = sx_ * e1y - sy_ * e1x
+        t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC, 1)
+        slot_col = (
+            col(9 + 14) if slot_override_col is None else slot_override_col
+        )
+
+        def chunk_tile(pt, _):
+            dx, dy, dz = ray_rows(pt)
+
+            # (TC,1) x (1,PX) outer-product broadcasts -> (TC, PX)
+            det = gdx * dx + gdy * dy + gdz * dz
+            u_num = gux * dx + guy * dy + guz * dz
+            v_num = gvx * dx + gvy * dy + gvz * dz
+
+            inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
+            t = t_num * inv_det
+            hit = (
+                (det > 1e-12)
+                & (u_num >= 0.0)
+                & (v_num >= 0.0)
+                & (u_num + v_num <= det)
+                & (t > NEAR)
+                & (t < FAR)
+            )
+            t = jnp.where(hit, t, jnp.inf)
+            t_min = jnp.min(t, axis=0, keepdims=True)  # (1, PX)
+            oh = ((t == t_min) & hit).astype(jnp.float32)
+
+            t_best = t_scr[pl.ds(pt, 1), :]  # (1, PX)
+            closer = t_min < t_best
+            t_scr[pl.ds(pt, 1), :] = jnp.where(closer, t_min, t_best)
+            # attribute resolve: 16 sublane reductions (TC,PX) ->
+            # (1,PX); the ones column (15) normalizes in-chunk ties
+            s_one = jnp.sum(oh * col(9 + 15), axis=0, keepdims=True)
+            inv_n = 1.0 / jnp.maximum(s_one, 1.0)
+            for k_ in range(16):
+                acol = slot_col if k_ == 14 else col(9 + k_)
+                sel = jnp.sum(oh * acol, axis=0, keepdims=True) * inv_n
+                row = at_scr[pl.ds(k_ * n_tiles + pt, 1), :]
+                at_scr[pl.ds(k_ * n_tiles + pt, 1), :] = jnp.where(
+                    closer, sel, row
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, chunk_tile, 0)
+
     @pl.when(ci == 0)
     def _init_carry():
         t_scr[:, :] = jnp.full(t_scr.shape, jnp.inf, jnp.float32)
         at_scr[:, :] = jnp.zeros(at_scr.shape, jnp.float32)
+        if n_mesh_chunks:
+            # dynamic mesh-entity rows (already world-space, attrs with
+            # atlas slot indices) compete once, seeding the carry —
+            # the analog of raycast._entity_mesh_pass seeding the scan
+            def mesh_chunk(mc, _):
+                def mcol(k):
+                    return mesh_ref[0, pl.ds(mc * tri_chunk, tri_chunk),
+                                    k:k + 1]
+
+                scan_rows(mcol)
+                return 0
+
+            jax.lax.fori_loop(0, n_mesh_chunks, mesh_chunk, 0)
 
     # ---- one scheduled chunk against every pixel tile ------------------
     def col(k):
         return tri_ref[0, :, k:k + 1]  # (TC, 1)
-
-    v0x, v0y, v0z = col(0), col(1), col(2)
-    e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
-    e2x, e2y, e2z = col(6) - v0x, col(7) - v0y, col(8) - v0z
-    sx_, sy_, sz_ = ox - v0x, oy - v0y, oz - v0z
-
-    # g_det = e2 x e1; g_u = e2 x s; g_v = s x e1  (TC, 1) each
-    gdx = e2y * e1z - e2z * e1y
-    gdy = e2z * e1x - e2x * e1z
-    gdz = e2x * e1y - e2y * e1x
-    gux = e2y * sz_ - e2z * sy_
-    guy = e2z * sx_ - e2x * sz_
-    guz = e2x * sy_ - e2y * sx_
-    gvx = sy_ * e1z - sz_ * e1y
-    gvy = sz_ * e1x - sx_ * e1z
-    gvz = sx_ * e1y - sy_ * e1x
-    t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC, 1)
 
     if dr_active:
         # per-episode texture-variant resolve, identical draws to the
@@ -173,47 +239,9 @@ def _kernel(
         offs = jnp.minimum(jnp.floor(u_t * cnt), cnt - 1.0)
         slot_col = jnp.where(base >= 0.0, base + offs, -1.0)
     else:
-        slot_col = col(9 + 14)  # baked atlas index
+        slot_col = None  # baked atlas index in the attr column
 
-    def chunk_tile(pt, _):
-        dx, dy, dz = ray_rows(pt)
-
-        # (TC,1) x (1,PX) outer-product broadcasts -> (TC, PX)
-        det = gdx * dx + gdy * dy + gdz * dz
-        u_num = gux * dx + guy * dy + guz * dz
-        v_num = gvx * dx + gvy * dy + gvz * dz
-
-        inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
-        t = t_num * inv_det
-        hit = (
-            (det > 1e-12)
-            & (u_num >= 0.0)
-            & (v_num >= 0.0)
-            & (u_num + v_num <= det)
-            & (t > NEAR)
-            & (t < FAR)
-        )
-        t = jnp.where(hit, t, jnp.inf)
-        t_min = jnp.min(t, axis=0, keepdims=True)  # (1, PX)
-        oh = ((t == t_min) & hit).astype(jnp.float32)
-
-        t_best = t_scr[pl.ds(pt, 1), :]  # (1, PX)
-        closer = t_min < t_best
-        t_scr[pl.ds(pt, 1), :] = jnp.where(closer, t_min, t_best)
-        # attribute resolve: 16 sublane reductions (TC,PX) -> (1,PX);
-        # the ones column (15) normalizes exact in-chunk ties
-        s_one = jnp.sum(oh * col(9 + 15), axis=0, keepdims=True)
-        inv_n = 1.0 / jnp.maximum(s_one, 1.0)
-        for k_ in range(16):
-            acol = slot_col if k_ == 14 else col(9 + k_)
-            sel = jnp.sum(oh * acol, axis=0, keepdims=True) * inv_n
-            row = at_scr[pl.ds(k_ * n_tiles + pt, 1), :]
-            at_scr[pl.ds(k_ * n_tiles + pt, 1), :] = jnp.where(
-                closer, sel, row
-            )
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, chunk_tile, 0)
+    scan_rows(col, slot_override_col=slot_col)
 
     # ---- finalize: entities + texture + shade, once per env ------------
     @pl.when(ci == n_sched - 1)
@@ -292,9 +320,13 @@ def _kernel(
                 nbz = sign * (-wx * sd + wz * cd)
 
                 is_sphere = shape == float(SHAPE_SPHERE)
+                # mirror raycast._entity_pass: only SHAPE_BOX boxes
+                # intersect analytically (SHAPE_MESH_TRIS entities render
+                # through the mesh rows instead)
+                is_box = shape == float(SHAPE_BOX)
                 t_e = jnp.where(is_sphere, t_sph, t_in)
                 hit_e = active & (
-                    (is_sphere & sph_hit) | (~is_sphere & box_hit)
+                    (is_sphere & sph_hit) | (is_box & box_hit)
                 )
                 closer = hit_e & (t_e < t_best)
                 return (
@@ -352,16 +384,38 @@ def _kernel(
             ca, sa = jnp.cos(arg) * att, jnp.sin(arg) * att
             textured = (slot >= 0).astype(jnp.float32)
 
-            def tex_ch(ch):
-                t = ce[ch:ch + 1] + jnp.sum(
+            def raw_ch(ch):
+                return ce[ch:ch + 1] + jnp.sum(
                     ce[a0 + ch * k:a0 + (ch + 1) * k] * ca
                     + ce[a0 + (3 + ch) * k:a0 + (4 + ch) * k] * sa,
                     axis=0, keepdims=True,
                 )
-                t = jnp.clip(t, 0.0, 1.0)
-                return textured * t + (1.0 - textured)
 
-            tex_r, tex_g, tex_b = tex_ch(0), tex_ch(1), tex_ch(2)
+            t0, t1, t2 = raw_ch(0), raw_ch(1), raw_ch(2)
+            if has_gain:
+                # glyph handling keyed on the table's trailing gain
+                # coefficient (raycast.eval_fourier): gain < 0 =
+                # Fourier-SDF ([sdf|ink|bg] channels, threshold with
+                # edge half-width -1/(2*gain)); gain > 1 = legacy
+                # contrast expansion away from dc; gain == 1 identity.
+                d_dim = coef_ref.shape[0]
+                gain = ce[d_dim - 1:d_dim]
+                s = jnp.clip(0.5 - t0 * gain, 0.0, 1.0)
+                sdf = t1 + (t2 - t1) * s
+                is_sdf = gain < 0.0
+                expand = gain > 1.0
+
+                def gch(t, ch):
+                    dc = ce[ch:ch + 1]
+                    t = jnp.where(is_sdf, sdf, t)
+                    return jnp.where(expand, dc + (t - dc) * gain, t)
+
+                t0, t1, t2 = gch(t0, 0), gch(t1, 1), gch(t2, 2)
+
+            def blend(t):
+                return textured * jnp.clip(t, 0.0, 1.0) + (1.0 - textured)
+
+            tex_r, tex_g, tex_b = blend(t0), blend(t1), blend(t2)
 
             # ---- merge + shade -----------------------------------------
             ent_wins = t_ent < t_tri
@@ -411,7 +465,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "k_terms", "tri_chunk", "dr_active", "interpret",
+        "width", "height", "k_terms", "tri_chunk", "dr_active",
+        "has_gain", "interpret",
     ),
 )
 def render_batch_pallas(
@@ -422,12 +477,14 @@ def render_batch_pallas(
     uniforms,    # (B, 1, 32) f32
     ent_attr,    # (B, E, 16) f32
     coeffs,      # (A, D) f32 shared Fourier atlas
+    mesh_pack=None,  # (B, EM_pad, 32) f32 dynamic mesh rows, or None
     *,
     width: int,
     height: int,
     k_terms: int,
     tri_chunk: int,
     dr_active: bool = False,
+    has_gain: bool = False,
     interpret: bool = False,
 ):
     """Render B envs. Returns rgb (B,H,W,3) u8 and depth (B,H,W,1) f32."""
@@ -440,11 +497,21 @@ def render_batch_pallas(
 
     coeffs_t = coeffs.T  # (D, A)
 
+    if mesh_pack is None:
+        n_mesh_chunks = 0
+        mesh_pack = jnp.zeros((b, 8, 32), jnp.float32)
+        mesh_block = 8
+    else:
+        assert mesh_pack.shape[1] % tri_chunk == 0, mesh_pack.shape
+        n_mesh_chunks = mesh_pack.shape[1] // tri_chunk
+        mesh_block = mesh_pack.shape[1]
+
     kernel = functools.partial(
         _kernel,
         width=width, height=height, k_terms=k_terms,
         tri_chunk=tri_chunk, num_ents=e, n_tiles=n_tiles,
-        n_sched=n_sched, dr_active=dr_active,
+        n_sched=n_sched, n_mesh_chunks=n_mesh_chunks,
+        dr_active=dr_active, has_gain=has_gain,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -466,6 +533,11 @@ def render_batch_pallas(
             ),
             pl.BlockSpec(
                 coeffs_t.shape, lambda bi, ci, lids, sch, keys: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, mesh_block, 32),
+                lambda bi, ci, lids, sch, keys: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -493,7 +565,8 @@ def render_batch_pallas(
             jax.ShapeDtypeStruct((b, n_tiles, PX), jnp.float32),
         ],
         interpret=interpret,
-    )(layout_ids, sched, keys, tri_pack, uniforms, ent_attr, coeffs_t)
+    )(layout_ids, sched, keys, tri_pack, uniforms, ent_attr, coeffs_t,
+      mesh_pack)
 
     rgba = rgba.reshape(b, pxpad)[:, :hw]
     depth = depth.reshape(b, pxpad)[:, :hw]

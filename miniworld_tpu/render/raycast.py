@@ -457,24 +457,21 @@ def eval_nearest(atlas: jax.Array, tex_map: jax.Array, slot: jax.Array,
     return jnp.where((slot_i >= 0)[:, None], texel, 1.0)
 
 
-def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
-    """Triangle intersection for dynamic mesh entities (keys, duckies,
-    medkits): each SHAPE_MESH_TRIS prototype carries its decimated
-    LOCAL-space triangle rows (scene/entities._mesh_tri_rows). Per
-    frame every entity's rows are transformed to world space (vmapped
-    over the few entity slots), concatenated into ONE (E*M, ...) block,
-    and intersected in a single pass — no per-entity scan, no carry
-    selects. Returns (t (HW,), attr (HW, ATTR_DIM)) normalized, ready
-    to seed the static chunk scan's carry (render_rgbd feeds it as the
-    scan init, so the z-merge with static geometry is the scan's own
-    closer-select — zero extra merge ops or layout copies).
+def entity_mesh_rows(bank, layout_id, state, fourier: bool):
+    """World-space triangle rows of every dynamic mesh entity:
+    (verts (E*M, 3, 3), attrs (E*M, ATTR_DIM)).
+
+    Each SHAPE_MESH_TRIS prototype carries its decimated LOCAL-space
+    triangle rows (scene/entities._mesh_tri_rows); per frame every
+    entity's rows are rotated/scaled/translated to world space (vmapped
+    over the few entity slots) and concatenated into one block.
+    Deactivated rows collapse to degenerate geometry (no hit).
 
     ``fourier``: translate the layout-local texture slot column to the
     shared-atlas index (mesh textures have a single variant) so the
     merged attr feeds eval_fourier; the nearest path keeps local slots
     (eval_nearest resolves them through state.tex_map).
     """
-    hw = dirs.shape[0]
     num_ents = state.ent_pos.shape[0]
     proto_shape = bank.proto_shape[layout_id]
     proto_static = bank.proto_static[layout_id]
@@ -538,6 +535,18 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
     verts, attrs = jax.vmap(world_rows)(jnp.arange(num_ents))
     verts = verts.reshape(-1, 3, 3)  # (E*M, 3, 3)
     attrs = attrs.reshape(-1, ATTR_DIM)
+    return verts, attrs
+
+
+def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
+    """Intersect dynamic mesh-entity rows (entity_mesh_rows) in one
+    pass — no per-entity scan, no carry selects. Returns (t (HW,),
+    attr (HW, ATTR_DIM)) normalized, ready to seed the static chunk
+    scan's carry (render_rgbd feeds it as the scan init, so the
+    z-merge with static geometry is the scan's own closer-select —
+    zero extra merge ops or layout copies)."""
+    hw = dirs.shape[0]
+    verts, attrs = entity_mesh_rows(bank, layout_id, state, fourier)
 
     v0 = verts[:, 0]
     e1 = verts[:, 1] - v0

@@ -503,18 +503,6 @@ class MiniWorldVec:
             bool((shp == SHAPE_MESH_TRIS).any()),
         )
         if render_backend == "pallas":
-            if self._shapes_present[2]:
-                raise ValueError(
-                    "render_backend='pallas' does not support dynamic-"
-                    "mesh entity protos (keys/duckies/medkits); use the "
-                    "XLA backend for this env class"
-                )
-            if self._tex_has_gain:
-                raise ValueError(
-                    "render_backend='pallas' does not support glyph-"
-                    "gain textures (TextFrame/Sign envs); use the XLA "
-                    "backend for this env class"
-                )
             if self.supersample != 1:
                 raise ValueError(
                     "render_backend='pallas' does not implement the "
@@ -829,7 +817,7 @@ class MiniWorldVec:
         from miniworld_tpu.ops import geom
         from miniworld_tpu.render.pallas_kernel2 import render_batch_pallas
         from miniworld_tpu.render.raycast import (
-            chunk_schedule, room_of_point,
+            chunk_schedule, entity_mesh_rows, room_of_point,
         )
 
         def pack_one(s):
@@ -898,15 +886,35 @@ class MiniWorldVec:
             )
         sched = jnp.clip(sched, 0, n_chunks - 1)
 
+        mesh_pack = None
+        if self._shapes_present[2]:
+            # dynamic mesh entities: world-space rows per env in the
+            # kernel's pack layout (the XLA path builds the same rows
+            # for its seeding pass — raycast.entity_mesh_rows)
+            tc = self.tri_chunk
+
+            def mesh_one(s):
+                verts, attrs = entity_mesh_rows(
+                    bank, s.layout_id, s, fourier=True
+                )
+                em = verts.shape[0]
+                em_pad = -(-em // tc) * tc
+                rows = jnp.zeros((em_pad, 32), jnp.float32)
+                rows = rows.at[:em, 0:9].set(verts.reshape(em, 9))
+                rows = rows.at[:em, 9:25].set(attrs)
+                return rows
+
+            mesh_pack = jax.vmap(mesh_one)(state)
+
         keys = jax.lax.bitcast_convert_type(
             state.tri_slots.astype(jnp.uint32), jnp.int32
         )
         rgb, depth = render_batch_pallas(
             lid, sched, keys, bank.pallas_pack,
-            uniforms[:, None, :], ent_attr, atlas,
+            uniforms[:, None, :], ent_attr, atlas, mesh_pack,
             width=self.obs_width, height=self.obs_height,
             k_terms=self.fourier_k, tri_chunk=self.tri_chunk,
-            dr_active=self.domain_rand,
+            dr_active=self.domain_rand, has_gain=self._tex_has_gain,
             # Mosaic only lowers on TPU; tests exercise the kernel
             # through the interpreter on the forced-CPU backend
             interpret=jax.default_backend() == "cpu",

@@ -34,6 +34,8 @@ def _compare(env_x, env_p, steps=3, frac_tol=0.01, seed=0):
         sp, (op, dp), *_ = env_p.step(sp, acts)
         frames.append((ox, dx, op, dp))
     for i, (ox, dx, op, dp) in enumerate(frames):
+        if isinstance(ox, dict):
+            ox, op = ox["obs"], op["obs"]
         rgb_x = np.asarray(ox, np.int32)
         rgb_p = np.asarray(op, np.int32)
         diff = np.abs(rgb_x - rgb_p)
@@ -84,10 +86,29 @@ def test_pallas_domain_rand():
     _compare(env_x, env_p, steps=2)
 
 
+def test_pallas_mesh_entities():
+    """Dynamic mesh protos (keys/duckies) render through the kernel's
+    mesh-row seeding pass, matching the XLA _entity_mesh_pass."""
+    kw = dict(num_envs=2, obs_width=W, obs_height=H)
+    env_x = MiniWorldVec("MiniWorld-PickupObjects-v0", **kw)
+    env_p = MiniWorldVec("MiniWorld-PickupObjects-v0",
+                         render_backend="pallas", **kw)
+    _compare(env_x, env_p, steps=2, frac_tol=0.02)
+
+
+def test_pallas_glyph_gain():
+    """Fourier-SDF glyph textures (Sign) evaluate identically: the
+    kernel applies the same trailing-gain threshold/expansion as
+    eval_fourier."""
+    kw = dict(num_envs=2, obs_width=W, obs_height=H)
+    env_x = MiniWorldVec("MiniWorld-Sign-v0", **kw)
+    env_p = MiniWorldVec("MiniWorld-Sign-v0", render_backend="pallas",
+                         **kw)
+    assert env_p._tex_has_gain
+    _compare(env_x, env_p, steps=2, frac_tol=0.02)
+
+
 def test_pallas_rejects_unsupported():
-    with pytest.raises(ValueError, match="mesh"):
-        MiniWorldVec("MiniWorld-PickupObjects-v0", num_envs=2,
-                     obs_width=W, obs_height=H, render_backend="pallas")
     with pytest.raises(ValueError, match="supersampl"):
         MiniWorldVec("MiniWorld-Hallway-v0", num_envs=2, obs_width=W,
                      obs_height=H, supersample=2,
