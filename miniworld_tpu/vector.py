@@ -201,8 +201,7 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
     identical visible-sets deduped) removes that slack: the schedule
     becomes ``room_base + arange(sched_len)``.
 
-    Returns (packed dict | None, tri_chunk, sched_len, modeled_cost,
-    orig_pos);
+    Returns (packed dict | None, tri_chunk, sched_len, modeled_cost);
     None when a single region covers everything (no culling value) or
     the duplicated bank copies would exceed ``max_bytes``.
     The duplicated copies are render-exact: the chunk scan's z/tie
@@ -210,7 +209,7 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
     """
     pvs, room_mask = bank_np.room_pvs, bank_np.room_mask
     if all(pvs[li][np.ix_(m, m)].all() for li, m in enumerate(room_mask)):
-        return None, chunk_cap, None, np.inf, None
+        return None, chunk_cap, None, np.inf
 
     L, S = bank_np.tri_room.shape
     candidates = [k for k in (32, 48, 64, 96, 128, 160, 192, 224, 256)
@@ -251,20 +250,16 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
             best = (k, sched_len, s2_max, cost)
 
     if best[0] is None:
-        return None, chunk_cap, None, np.inf, None
+        return None, chunk_cap, None, np.inf
     k, sched_len, s2_max, cost = best
 
     R = bank_np.room_mask.shape[1]
-    S_pad = bank_np.tri_room.shape[1]
     verts9 = np.zeros((L, 9, s2_max), np.float32)
     attr = np.zeros((L, s2_max, bank_np.tri_attr.shape[2]), np.float32)
     tri_tex = np.full((L, s2_max), -1, np.int32)
     tri_tex_base = np.full((L, s2_max), -1.0, np.float32)
     tri_tex_count = np.ones((L, s2_max), np.float32)
     room_base = np.zeros((L, R), np.int32)
-    # orig tri -> position of its first packed copy (tests/debug only;
-    # kept host-side, not a bank field)
-    orig_pos = np.zeros((L, S_pad), np.int64)
     for li, (glob, rooms, tris_of, vsets, room_vset) in enumerate(layouts):
         region_base = {}
         pos = 0
@@ -279,7 +274,6 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
             tri_tex[li, pos:pos + len(idx)] = bank_np.tri_tex[li][idx]
             tri_tex_base[li, pos:pos + len(idx)] = bank_np.tri_tex_base[li][idx]
             tri_tex_count[li, pos:pos + len(idx)] = bank_np.tri_tex_count[li][idx]
-            orig_pos[li, idx] = np.arange(pos, pos + len(idx))
             pos += n_chunks * k
         for r in rooms:
             room_base[li, r] = region_base[room_vset[r]]
@@ -288,7 +282,7 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
         pvs_tri_tex_base=tri_tex_base, pvs_tri_tex_count=tri_tex_count,
         pvs_room_base=room_base,
     )
-    return packed, k, sched_len, cost, orig_pos
+    return packed, k, sched_len, cost
 
 
 def lay_view(bank: Layout, layout_id) -> Layout:
@@ -396,7 +390,7 @@ class MiniWorldVec:
             else (-(-bank_np.tri_mask.shape[1] // chunks_k))
             * (chunks_k + _CHUNK_OVERHEAD_TRIS)
         )
-        packed, packed_k, packed_sched, packed_cost, orig_pos = (
+        packed, packed_k, packed_sched, packed_cost = (
             plan_packed_pvs(bank_np, self.tri_chunk)
         )
         if packed is not None and packed_cost < chunks_cost:
@@ -409,7 +403,6 @@ class MiniWorldVec:
             bank_np = _dc.replace(bank_np, **packed)
             self._pvs_packed = True
             self._sched_len = packed_sched
-            self._pvs_orig_pos = orig_pos
         else:
             self.tri_chunk = chunks_k
             # never pad the bank BEYOND its natural triangle count (a

@@ -64,7 +64,7 @@ def test_culled_render_identical(env_id, num_layouts):
 
 
 def _no_packed(*a, **k):
-    return None, a[1], None, np.inf, None
+    return None, a[1], None, np.inf
 
 
 def _no_culling(bank_np, chunk_cap):
