@@ -564,6 +564,13 @@ def render_batch_pallas(
             jax.ShapeDtypeStruct((b, n_tiles, PX), jnp.uint32),
             jax.ShapeDtypeStruct((b, n_tiles, PX), jnp.float32),
         ],
+        # env axis is embarrassingly parallel (each bi re-inits its
+        # carry at ci == 0), so megacore TPUs may split it across
+        # cores; the chunk axis accumulates through scratch and must
+        # stay sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(layout_ids, sched, keys, tri_pack, uniforms, ent_attr, coeffs_t,
       mesh_pack)
