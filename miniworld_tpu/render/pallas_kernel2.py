@@ -221,27 +221,41 @@ def _kernel(
             jax.lax.fori_loop(0, n_mesh_chunks, mesh_chunk, 0)
 
     # ---- one scheduled chunk against every pixel tile ------------------
-    def col(k):
-        return tri_ref[0, :, k:k + 1]  # (TC, 1)
+    # Schedule slack and frustum-culled slots arrive as REPEATS of the
+    # previous slot's chunk index (the vector layer fills them that
+    # way): re-presenting identical triangles cannot change the carry
+    # (t == t_best is not closer), so the whole chunk body is skipped —
+    # the kernel's work per env tracks the ACTIVE schedule length, not
+    # the static worst case (the XLA scan pays full price for repeats).
+    # The repeated index also makes Mosaic's block pipeline re-use the
+    # already-resident tri block instead of re-fetching it.
+    cur = sched_ref[bi, ci]
+    prev = sched_ref[bi, jnp.maximum(ci - 1, 0)]
+    is_repeat = (ci > 0) & (cur == prev)
 
-    if dr_active:
-        # per-episode texture-variant resolve, identical draws to the
-        # XLA path (raycast.hash01 of the env key and the tri's slot
-        # id): atlas index = base + min(floor(u * count), count - 1)
-        key = keys_ref[bi].astype(jnp.uint32)
-        ids = col(25).astype(jnp.int32).astype(jnp.uint32)  # (TC, 1)
-        x = ids * jnp.uint32(0x9E3779B9) ^ key
-        x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
-        x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-        x = x ^ (x >> 16)
-        u_t = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-        base, cnt = col(26), col(27)
-        offs = jnp.minimum(jnp.floor(u_t * cnt), cnt - 1.0)
-        slot_col = jnp.where(base >= 0.0, base + offs, -1.0)
-    else:
-        slot_col = None  # baked atlas index in the attr column
+    @pl.when(jnp.logical_not(is_repeat))
+    def _scan_scheduled_chunk():
+        def col(k):
+            return tri_ref[0, :, k:k + 1]  # (TC, 1)
 
-    scan_rows(col, slot_override_col=slot_col)
+        if dr_active:
+            # per-episode texture-variant resolve, identical draws to
+            # the XLA path (raycast.hash01 of the env key and the tri's
+            # slot id): atlas = base + min(floor(u * count), count - 1)
+            key = keys_ref[bi].astype(jnp.uint32)
+            ids = col(25).astype(jnp.int32).astype(jnp.uint32)  # (TC, 1)
+            x = ids * jnp.uint32(0x9E3779B9) ^ key
+            x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+            x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+            x = x ^ (x >> 16)
+            u_t = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+            base, cnt = col(26), col(27)
+            offs = jnp.minimum(jnp.floor(u_t * cnt), cnt - 1.0)
+            slot_col = jnp.where(base >= 0.0, base + offs, -1.0)
+        else:
+            slot_col = None  # baked atlas index in the attr column
+
+        scan_rows(col, slot_override_col=slot_col)
 
     # ---- finalize: entities + texture + shade, once per env ------------
     @pl.when(ci == n_sched - 1)
@@ -611,3 +625,21 @@ def pack_tri_bank(verts9, attr, tri_chunk: int, tex=None):
         pack[:, S:, 26] = -1.0
         pack[:, S:, 27] = 1.0
     return pack
+
+
+def pack_chunk_aabbs(pack, tri_chunk: int):
+    """Host-side: (L, S_pad, 32) pack -> (L, C, 6) per-chunk
+    [min_xyz | max_xyz] triangle AABBs, over VALID rows only (the attr
+    "one" column, 24, marks real triangles). All-padding chunks get an
+    empty box (+inf mins, -inf maxes) so the frustum test always culls
+    them. Feeds MiniWorldVec's per-env schedule-slot frustum culling."""
+    import numpy as np
+
+    L, s_pad, _ = pack.shape
+    c = s_pad // tri_chunk
+    v = pack[:, :, 0:9].reshape(L, c, tri_chunk, 3, 3)
+    valid = pack[:, :, 24].reshape(L, c, tri_chunk) > 0.5
+    m = valid[..., None, None]
+    vmin = np.where(m, v, np.inf).min(axis=(2, 3))  # (L, C, 3)
+    vmax = np.where(m, v, -np.inf).max(axis=(2, 3))
+    return np.concatenate([vmin, vmax], axis=-1).astype(np.float32)

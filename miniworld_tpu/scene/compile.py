@@ -185,10 +185,15 @@ class Layout:
     pvs_tri_tex_base: np.ndarray | None = None  # (L,S2) f32
     pvs_tri_tex_count: np.ndarray | None = None  # (L,S2) f32
     pvs_room_base: np.ndarray | None = None  # (L,R) i32 chunk base per room
+    pvs_room_nchunks: np.ndarray | None = None  # (L,R) i32 chunks per room's set
     # (L, S_pad, 32) kernel-layout triangle pack (verts9 | attrs),
     # built by MiniWorldVec when render_backend == "pallas"
     # (render/pallas_kernel2.pack_tri_bank); None otherwise.
     pallas_pack: np.ndarray | None = None
+    # (L, C, 6) per-chunk [min_xyz | max_xyz] AABBs of the pack above,
+    # for per-env frustum culling of schedule slots (empty chunks hold
+    # +inf/-inf and always cull); None unless the pallas backend is on.
+    pallas_chunk_aabb: np.ndarray | None = None
 
     def pad_to(self, sizes: dict) -> "Layout":
         """Pad all leading dims to the given sizes (keys: S,W,R,V,P,E,C,T)."""

@@ -260,8 +260,10 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
     tri_tex_base = np.full((L, s2_max), -1.0, np.float32)
     tri_tex_count = np.ones((L, s2_max), np.float32)
     room_base = np.zeros((L, R), np.int32)
+    room_nchunks = np.ones((L, R), np.int32)
     for li, (glob, rooms, tris_of, vsets, room_vset) in enumerate(layouts):
         region_base = {}
+        region_nchunks = {}
         pos = 0
         for key, _rid in vsets.items():
             idx = np.concatenate(
@@ -269,6 +271,7 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
             ).astype(np.int64) if (len(glob) or key) else np.zeros(0, np.int64)
             n_chunks = max(-(-len(idx) // k), 1)
             region_base[key] = pos // k
+            region_nchunks[key] = n_chunks
             verts9[li, :, pos:pos + len(idx)] = bank_np.tri_verts9[li][:, idx]
             attr[li, pos:pos + len(idx)] = bank_np.tri_attr[li][idx]
             tri_tex[li, pos:pos + len(idx)] = bank_np.tri_tex[li][idx]
@@ -277,10 +280,11 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
             pos += n_chunks * k
         for r in rooms:
             room_base[li, r] = region_base[room_vset[r]]
+            room_nchunks[li, r] = region_nchunks[room_vset[r]]
     packed = dict(
         pvs_verts9=verts9, pvs_attr=attr, pvs_tri_tex=tri_tex,
         pvs_tri_tex_base=tri_tex_base, pvs_tri_tex_count=tri_tex_count,
-        pvs_room_base=room_base,
+        pvs_room_base=room_base, pvs_room_nchunks=room_nchunks,
     )
     return packed, k, sched_len, cost
 
@@ -295,7 +299,7 @@ def lay_view(bank: Layout, layout_id) -> Layout:
         if arr is None:  # optional packed-PVS fields
             out[f.name] = None
         elif (f.name in _TRI_FIELDS or f.name.startswith("pvs_")
-              or f.name == "pallas_pack"):
+              or f.name.startswith("pallas_")):
             out[f.name] = arr[0, :0]
         else:
             out[f.name] = arr[layout_id]
@@ -444,7 +448,9 @@ class MiniWorldVec:
             # docstring)
             import dataclasses as _dc
 
-            from miniworld_tpu.render.pallas_kernel2 import pack_tri_bank
+            from miniworld_tpu.render.pallas_kernel2 import (
+                pack_chunk_aabbs, pack_tri_bank,
+            )
 
             if tex_mode != "fourier":
                 raise ValueError(
@@ -468,7 +474,10 @@ class MiniWorldVec:
                     bank_np.tri_verts9, bank_np.tri_attr, self.tri_chunk,
                     tex=tex,
                 )
-            bank_np = _dc.replace(bank_np, pallas_pack=pack)
+            bank_np = _dc.replace(
+                bank_np, pallas_pack=pack,
+                pallas_chunk_aabb=pack_chunk_aabbs(pack, self.tri_chunk),
+            )
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
@@ -810,7 +819,7 @@ class MiniWorldVec:
         from miniworld_tpu.ops import geom
         from miniworld_tpu.render.pallas_kernel2 import render_batch_pallas
         from miniworld_tpu.render.raycast import (
-            chunk_schedule, entity_mesh_rows, room_of_point,
+            entity_mesh_rows, room_of_point,
         )
 
         def pack_one(s):
@@ -845,39 +854,9 @@ class MiniWorldVec:
             return uni, ent
 
         uniforms, ent_attr = jax.vmap(pack_one)(state)
-
-        # per-env chunk schedule, identical to the XLA path's
+        sched = self._pallas_schedules(bank, state)
         n_chunks = bank.pallas_pack.shape[1] // self.tri_chunk
         lid = state.layout_id
-        if self._pvs_packed:
-            def sched_one(s):
-                origin = geom.cam_position(
-                    s.pos, s.dir, s.cam_height, s.cam_fwd_disp
-                )
-                room = room_of_point(
-                    bank, s.layout_id, origin[jnp.array([0, 2])]
-                )
-                base = bank.pvs_room_base[s.layout_id, room]
-                return base + jnp.arange(self._sched_len, dtype=jnp.int32)
-
-            sched = jax.vmap(sched_one)(state)
-        elif self._chunk_vis is not None:
-            def sched_one(s):
-                origin = geom.cam_position(
-                    s.pos, s.dir, s.cam_height, s.cam_fwd_disp
-                )
-                return chunk_schedule(
-                    bank, self._chunk_vis, s.layout_id, origin,
-                    self._sched_len,
-                )
-
-            sched = jax.vmap(sched_one)(state)
-        else:
-            sched = jnp.broadcast_to(
-                jnp.arange(n_chunks, dtype=jnp.int32),
-                (lid.shape[0], n_chunks),
-            )
-        sched = jnp.clip(sched, 0, n_chunks - 1)
 
         mesh_pack = None
         if self._shapes_present[2]:
@@ -913,6 +892,110 @@ class MiniWorldVec:
             interpret=jax.default_backend() == "cpu",
         )
         return jax.vmap(self._wrap_obs_one)(rgb, depth, state)
+
+    def _pallas_schedules(self, bank: Layout, state: EnvState):
+        """(B, NS) i32 per-env chunk schedules for the fused kernel.
+
+        PVS visibility is identical to the XLA path's
+        (raycast.chunk_schedule / packed room_base + arange); on top of
+        it, slots whose chunk AABB lies fully outside the camera
+        frustum (conservative p-vertex plane test, so culling is
+        pixel-exact) are replaced by a REPEAT of the previous kept
+        slot — the kernel skips repeated indices entirely
+        (pallas_kernel2), so per-env work tracks the chunks actually
+        in view, not the static worst case the XLA scan pays for.
+        """
+        from miniworld_tpu.ops import geom
+        from miniworld_tpu.render.raycast import room_of_point
+
+        n_chunks = bank.pallas_pack.shape[1] // self.tri_chunk
+        aabb = bank.pallas_chunk_aabb  # (L, C, 6)
+
+        def wedge_vis(s, boxes):
+            """(N,) bool: can any in-frustum ray with t > 0 reach each
+            AABB? Inward frustum plane normals from the camera basis;
+            a box is culled only when ALL its corners are outside one
+            plane (max-corner / p-vertex test) — conservative, with a
+            1e-3 margin absorbing f32 roundoff (pixel-center rays are
+            strictly inside the full-tan wedge by ~tan_x/W >> 1e-3)."""
+            fwd, up, right = geom.cam_basis(s.dir, s.cam_pitch)
+            origin = geom.cam_position(
+                s.pos, s.dir, s.cam_height, s.cam_fwd_disp
+            )
+            tan_y = jnp.tan(jnp.deg2rad(s.cam_fov_y) * 0.5)
+            tan_x = tan_y * (self.obs_width / self.obs_height)
+            planes = jnp.stack([
+                tan_x * fwd + right,
+                tan_x * fwd - right,
+                tan_y * fwd + up,
+                tan_y * fwd - up,
+            ])  # (4, 3) inward normals through the origin
+            mn, mx = boxes[:, 0:3], boxes[:, 3:6]
+            corner = jnp.where(planes[:, None, :] > 0, mx[None], mn[None])
+            sgn = jnp.sum((corner - origin) * planes[:, None, :], axis=-1)
+            return jnp.all(sgn >= -1e-3, axis=0)
+
+        if self._pvs_packed:
+            def sched_one(s):
+                origin = geom.cam_position(
+                    s.pos, s.dir, s.cam_height, s.cam_fwd_disp
+                )
+                room = room_of_point(
+                    bank, s.layout_id, origin[jnp.array([0, 2])]
+                )
+                base = bank.pvs_room_base[s.layout_id, room]
+                count = bank.pvs_room_nchunks[s.layout_id, room]
+                sl = self._sched_len
+                # dynamic_slice clamps its start near the bank end;
+                # mirror the clamp so box i always describes chunk
+                # base_c + i (the region still fits: count <= sl)
+                base_c = jnp.minimum(base, n_chunks - sl)
+                boxes = jax.lax.dynamic_slice(
+                    aabb, (s.layout_id, base_c, 0), (1, sl, 6)
+                )[0]
+                idx = base_c + jnp.arange(sl, dtype=jnp.int32)
+                keep = (
+                    (idx >= base) & (idx < base + count)
+                    & wedge_vis(s, boxes)
+                )
+                # fill dropped slots with the previous kept chunk
+                # (prefix max), leading drops with the first kept one
+                o = jax.lax.associative_scan(
+                    jnp.maximum, jnp.where(keep, idx, -1)
+                )
+                first = jnp.min(jnp.where(keep, idx, n_chunks))
+                o = jnp.where(
+                    o < 0, jnp.minimum(first, base + count - 1), o
+                )
+                return jnp.minimum(o, base + count - 1)
+
+            sched = jax.vmap(sched_one)(state)
+        else:
+            chunk_vis = self._chunk_vis  # may be None (full scan)
+            sched_len = (
+                self._sched_len if chunk_vis is not None else n_chunks
+            )
+
+            def sched_one(s):
+                origin = geom.cam_position(
+                    s.pos, s.dir, s.cam_height, s.cam_fwd_disp
+                )
+                vis = wedge_vis(s, aabb[s.layout_id])  # (C,)
+                if chunk_vis is not None:
+                    room = room_of_point(
+                        bank, s.layout_id, origin[jnp.array([0, 2])]
+                    )
+                    vis = vis & chunk_vis[s.layout_id, :, room]
+                idx = jnp.arange(n_chunks, dtype=jnp.int32)
+                keys = jax.lax.sort(
+                    jnp.where(vis, idx, n_chunks)
+                )[:sched_len]
+                valid = keys < n_chunks
+                last = jnp.max(jnp.where(valid, keys, -1))
+                return jnp.where(valid, keys, jnp.maximum(last, 0))
+
+            sched = jax.vmap(sched_one)(state)
+        return jnp.clip(sched, 0, n_chunks - 1)
 
     def visible_ents(self, state):
         """(B, E) bool visibility mask (get_visible_ents parity,

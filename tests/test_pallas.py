@@ -108,6 +108,55 @@ def test_pallas_glyph_gain():
     _compare(env_x, env_p, steps=2, frac_tol=0.02)
 
 
+def test_pallas_frustum_culling_engages():
+    """Schedule slots whose chunk AABB is outside the camera frustum
+    become repeats of the previous kept slot (the kernel skips
+    repeats). On a maze most PVS chunks are behind/off-axis from any
+    given pose, so repeats must actually appear — this guards the
+    culling machinery against silently degrading to full schedules.
+    Pixel correctness of culled renders is covered by the _compare
+    parity tests above."""
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
+                               num_layouts=2)
+    env_p = MiniWorldVec(spec, num_envs=8, obs_width=W, obs_height=H,
+                         bank_seed=3, render_backend="pallas")
+    assert env_p._pvs_packed
+    state, _ = env_p.reset(jax.random.key(0))
+    sched = np.asarray(env_p._pallas_schedules(env_p._bank, state))
+    assert sched.shape == (8, env_p._sched_len)
+    repeats = (sched[:, 1:] == sched[:, :-1]).mean()
+    assert repeats > 0.0, sched
+    # every slot stays inside the env's own packed region
+    base = np.asarray(env_p._bank.pvs_room_base)
+    nch = np.asarray(env_p._bank.pvs_room_nchunks)
+    lids = np.asarray(state.layout_id)
+    for b in range(8):
+        lo = base[lids[b]].min()
+        assert (sched[b] >= 0).all() and (
+            sched[b] < base[lids[b]].max() + nch[lids[b]].max()
+        ).all()
+
+
+def test_pallas_matches_xla_chunk_vis(monkeypatch):
+    """chunk_vis schedule mode (packed planner disabled): the kernel's
+    sorted-and-filled schedules must render identically to the XLA
+    oracle."""
+    import miniworld_tpu.vector as vec
+
+    monkeypatch.setattr(
+        vec, "plan_packed_pvs",
+        lambda bank_np, cap, **kw: (None, cap, None, np.inf),
+    )
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
+                               num_layouts=2)
+    kw = dict(num_envs=2, obs_width=W, obs_height=H, bank_seed=3,
+              tri_chunk=32)
+    env_x = MiniWorldVec(spec, **kw)
+    env_p = MiniWorldVec(spec, render_backend="pallas", **kw)
+    assert env_p._chunk_vis is not None and not env_p._pvs_packed
+    _compare(env_x, env_p, steps=2)
+
+
 def test_pallas_rejects_unsupported():
     with pytest.raises(ValueError, match="supersampl"):
         MiniWorldVec("MiniWorld-Hallway-v0", num_envs=2, obs_width=W,
