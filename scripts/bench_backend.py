@@ -95,6 +95,15 @@ def main():
         except Exception as e:  # noqa: BLE001
             row["pallas_error"] = repr(e)[:200]
             env_p = None
+        if env_p is not None:
+            # schedule-skip effectiveness: average chunks the kernel
+            # actually runs per env vs the static schedule length
+            # (repeats are skipped in-kernel; vector._pallas_schedules)
+            sp, _ = env_p.reset(jax.random.key(11))
+            sched = np.asarray(env_p._pallas_schedules(env_p._bank, sp))
+            active = 1 + (sched[:, 1:] != sched[:, :-1]).sum(axis=1)
+            row["sched_len"] = int(sched.shape[1])
+            row["sched_active_mean"] = round(float(active.mean()), 2)
         if env_x is not None and env_p is not None:
             row["pixel_diff_frac"] = round(frame_agreement(env_x, env_p), 5)
             row["speedup"] = round(sps_p / max(sps_x, 1e-9), 3)
