@@ -65,8 +65,12 @@ Contracts:
   tri pack (L, S_pad, 32) f32: cols 0-8 v0/v1/v2 xyz, cols 9-24 attrs
     ([A(6)|b(2)|normal|color|atlas_slot|one], raycast.ATTR layout,
     slot column pre-baked to ATLAS indices).
-  sched (B, NS) i32: chunk index per (env, step), clamped repeats ok.
+  sched (B, NS) i32: chunk index per (env, step). A slot equal to the
+    previous slot is SKIPPED (the vector layer encodes PVS slack and
+    frustum-culled chunks as repeats).
   coeffs (D, A) f32: the shared transposed Fourier atlas.
+  chunk_aabb (L, C, 6) f32 [SMEM]: per-chunk [min_xyz|max_xyz], used
+    to skip pixel tiles whose vertical sub-wedge misses the chunk.
   outputs rgba (B, NT, 128) u32 0xAABBGGRR + depth f32.
 """
 
@@ -99,6 +103,7 @@ def _kernel(
     ent_ref,         # (1, E, 16) SMEM
     coef_ref,        # (D, A) VMEM (shared atlas, transposed)
     mesh_ref,        # (1, EM_pad, 32) VMEM — dynamic mesh rows (or (1,8,32) dummy)
+    aabb_ref,        # (1, 1, 8) SMEM — the scheduled chunk's AABB
     rgba_ref,        # (1, NT, PX) VMEM out
     depth_ref,       # (1, NT, PX) VMEM out
     t_scr,           # (NT, PX) f32 scratch — z carry
@@ -114,6 +119,7 @@ def _kernel(
     n_mesh_chunks: int,
     dr_active: bool,
     has_gain: bool,
+    tile_skip: bool,
 ):
     bi = pl.program_id(0)
     ci = pl.program_id(1)
@@ -138,10 +144,19 @@ def _kernel(
         dz = u(5) + xs * u(11) + ys * u(8)
         return dx, dy, dz
 
-    def scan_rows(col, slot_override_col=None):
+    def scan_rows(col, slot_override_col=None, clipped=False):
         """Compete one (TC, 32) row block against every pixel tile's
         carry. ``col(k)`` yields the block's column k as (TC, 1);
-        ``slot_override_col`` substitutes the attr slot column."""
+        ``slot_override_col`` substitutes the attr slot column.
+
+        ``clipped``: additionally skip whole pixel tiles whose vertical
+        sub-wedge cannot reach the chunk's AABB (aabb_ref) — a tile is
+        ~PX/width image rows, so a distant room's chunk subtends only a
+        few tiles around the horizon and the near-floor / ceiling tiles
+        skip its 128 x TC math entirely. Conservative p-vertex plane
+        test against the tile's top/bottom planes (the left/right
+        planes were already applied per env when the schedule was
+        built), so renders stay pixel-identical."""
         v0x, v0y, v0z = col(0), col(1), col(2)
         e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
         e2x, e2y, e2z = col(6) - v0x, col(7) - v0y, col(8) - v0z
@@ -162,7 +177,7 @@ def _kernel(
             col(9 + 14) if slot_override_col is None else slot_override_col
         )
 
-        def chunk_tile(pt, _):
+        def tile_body(pt):
             dx, dy, dz = ray_rows(pt)
 
             # (TC,1) x (1,PX) outer-product broadcasts -> (TC, PX)
@@ -198,7 +213,48 @@ def _kernel(
                 at_scr[pl.ds(k_ * n_tiles + pt, 1), :] = jnp.where(
                     closer, sel, row
                 )
-            return 0
+
+        if clipped and tile_skip:
+            def chunk_tile(pt, _):
+                # directions of the tile's rays: d = fwd + a*right +
+                # b*up with b in [ys_lo, ys_hi] (tile row edges). A hit
+                # point p has n.(p - o) = t * n.d >= 0 for the inward
+                # plane normals n_lo = up - ys_lo*fwd (b >= ys_lo) and
+                # n_hi = ys_hi*fwd - up (b <= ys_hi); if every AABB
+                # corner is outside either plane the tile can't see
+                # the chunk. Scalar math (SMEM reads + ~20 flops) vs
+                # 128 x TC vector work saved per skip.
+                r0 = (pt * PX) // width
+                r1 = ((pt + 1) * PX - 1) // width
+                ys_hi = (1.0 - 2.0 * r0.astype(jnp.float32) / height) * tan_y
+                ys_lo = (
+                    1.0 - 2.0 * (r1.astype(jnp.float32) + 1.0) / height
+                ) * tan_y
+                fx, fy, fz = u(3), u(4), u(5)
+                ux_, uy_, uz_ = u(6), u(7), u(8)
+
+                def outside(nx, ny, nz):
+                    cx = jnp.where(nx > 0, aabb_ref[0, 0, 3], aabb_ref[0, 0, 0])
+                    cy = jnp.where(ny > 0, aabb_ref[0, 0, 4], aabb_ref[0, 0, 1])
+                    cz = jnp.where(nz > 0, aabb_ref[0, 0, 5], aabb_ref[0, 0, 2])
+                    s = nx * (cx - ox) + ny * (cy - oy) + nz * (cz - oz)
+                    return s < -1e-3
+
+                skip = outside(
+                    ux_ - ys_lo * fx, uy_ - ys_lo * fy, uz_ - ys_lo * fz
+                ) | outside(
+                    ys_hi * fx - ux_, ys_hi * fy - uy_, ys_hi * fz - uz_
+                )
+
+                @pl.when(jnp.logical_not(skip))
+                def _run_tile():
+                    tile_body(pt)
+
+                return 0
+        else:
+            def chunk_tile(pt, _):
+                tile_body(pt)
+                return 0
 
         jax.lax.fori_loop(0, n_tiles, chunk_tile, 0)
 
@@ -255,7 +311,7 @@ def _kernel(
         else:
             slot_col = None  # baked atlas index in the attr column
 
-        scan_rows(col, slot_override_col=slot_col)
+        scan_rows(col, slot_override_col=slot_col, clipped=True)
 
     # ---- finalize: entities + texture + shade, once per env ------------
     @pl.when(ci == n_sched - 1)
@@ -480,7 +536,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "k_terms", "tri_chunk", "dr_active",
-        "has_gain", "interpret",
+        "has_gain", "tile_skip", "interpret",
     ),
 )
 def render_batch_pallas(
@@ -492,6 +548,7 @@ def render_batch_pallas(
     ent_attr,    # (B, E, 16) f32
     coeffs,      # (A, D) f32 shared Fourier atlas
     mesh_pack=None,  # (B, EM_pad, 32) f32 dynamic mesh rows, or None
+    chunk_aabb=None,  # (L, C, 6) f32 per-chunk AABBs, or None
     *,
     width: int,
     height: int,
@@ -499,6 +556,7 @@ def render_batch_pallas(
     tri_chunk: int,
     dr_active: bool = False,
     has_gain: bool = False,
+    tile_skip: bool = True,
     interpret: bool = False,
 ):
     """Render B envs. Returns rgb (B,H,W,3) u8 and depth (B,H,W,1) f32."""
@@ -520,12 +578,19 @@ def render_batch_pallas(
         n_mesh_chunks = mesh_pack.shape[1] // tri_chunk
         mesh_block = mesh_pack.shape[1]
 
+    if chunk_aabb is None:
+        tile_skip = False
+        chunk_aabb = jnp.zeros(
+            (tri_pack.shape[0], tri_pack.shape[1] // tri_chunk, 6),
+            jnp.float32,
+        )
+
     kernel = functools.partial(
         _kernel,
         width=width, height=height, k_terms=k_terms,
         tri_chunk=tri_chunk, num_ents=e, n_tiles=n_tiles,
         n_sched=n_sched, n_mesh_chunks=n_mesh_chunks,
-        dr_active=dr_active, has_gain=has_gain,
+        dr_active=dr_active, has_gain=has_gain, tile_skip=tile_skip,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -553,6 +618,11 @@ def render_batch_pallas(
                 (1, mesh_block, 32),
                 lambda bi, ci, lids, sch, keys: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 6),
+                lambda bi, ci, lids, sch, keys: (lids[bi], sch[bi, ci], 0),
+                memory_space=pltpu.SMEM,
             ),
         ],
         out_specs=[
@@ -587,7 +657,7 @@ def render_batch_pallas(
         ),
         interpret=interpret,
     )(layout_ids, sched, keys, tri_pack, uniforms, ent_attr, coeffs_t,
-      mesh_pack)
+      mesh_pack, chunk_aabb)
 
     rgba = rgba.reshape(b, pxpad)[:, :hw]
     depth = depth.reshape(b, pxpad)[:, :hw]

@@ -884,6 +884,7 @@ class MiniWorldVec:
         rgb, depth = render_batch_pallas(
             lid, sched, keys, bank.pallas_pack,
             uniforms[:, None, :], ent_attr, atlas, mesh_pack,
+            bank.pallas_chunk_aabb,
             width=self.obs_width, height=self.obs_height,
             k_terms=self.fourier_k, tri_chunk=self.tri_chunk,
             dr_active=self.domain_rand, has_gain=self._tex_has_gain,

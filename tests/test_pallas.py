@@ -157,6 +157,77 @@ def test_pallas_matches_xla_chunk_vis(monkeypatch):
     _compare(env_x, env_p, steps=2)
 
 
+def test_pallas_tile_skip_engages():
+    """The kernel's per-(chunk, pixel-tile) vertical-wedge test must
+    actually fire on maze scenes (a far room's chunk subtends few image
+    rows, so near-floor/ceiling tiles skip it). Replicates the kernel's
+    scalar predicate on the host for one env and requires both skipped
+    and kept tiles; pixel correctness of skipping is covered by the
+    _compare parity tests."""
+    from miniworld_tpu.ops import geom
+    from miniworld_tpu.render.pallas_kernel2 import PX
+
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
+                               num_layouts=2)
+    # small chunks => spatially localized chunk AABBs (the production
+    # shape: ~128-tri chunks against a multi-thousand-tri maze bank);
+    # the default auto chunk at this toy batch covers the whole region
+    # in one chunk, which nothing can skip
+    env_p = MiniWorldVec(spec, num_envs=4, obs_width=W, obs_height=H,
+                         bank_seed=3, render_backend="pallas",
+                         tri_chunk=16)
+    state, _ = env_p.reset(jax.random.key(2))
+    sched = np.asarray(env_p._pallas_schedules(env_p._bank, state))
+    aabb = np.asarray(env_p._bank.pallas_chunk_aabb)
+    hw = W * H
+    n_tiles = -(-hw // PX)
+    skips = keeps = 0
+    for b in range(4):
+        s = jax.tree.map(lambda x: x[b], state)
+        fwd, up, _ = map(np.asarray, geom.cam_basis(s.dir, s.cam_pitch))
+        o = np.asarray(geom.cam_position(
+            s.pos, s.dir, s.cam_height, s.cam_fwd_disp))
+        tan_y = float(np.tan(np.deg2rad(np.asarray(s.cam_fov_y)) * 0.5))
+        lid = int(s.layout_id)
+        chunks = np.unique(sched[b])
+        for pt in range(n_tiles):
+            r0, r1 = (pt * PX) // W, ((pt + 1) * PX - 1) // W
+            ys_hi = (1.0 - 2.0 * r0 / H) * tan_y
+            ys_lo = (1.0 - 2.0 * (r1 + 1.0) / H) * tan_y
+            for c in chunks:
+                mn, mx = aabb[lid, c, 0:3], aabb[lid, c, 3:6]
+                out = False
+                for n in (up - ys_lo * fwd, ys_hi * fwd - up):
+                    corner = np.where(n > 0, mx, mn)
+                    out |= float(n @ (corner - o)) < -1e-3
+                skips += out
+                keeps += not out
+    assert skips > 0 and keeps > 0, (skips, keeps)
+
+
+def test_pallas_tile_skip_parity_full_res():
+    """Full 80x60 render (38 pixel tiles) through the kernel with tile
+    skipping vs the XLA oracle — tile-boundary coverage the 48x36
+    cases can't give."""
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
+                               num_layouts=2)
+    kw = dict(num_envs=2, obs_width=80, obs_height=60, bank_seed=3)
+    env_x = MiniWorldVec(spec, **kw)
+    env_p = MiniWorldVec(spec, render_backend="pallas", **kw)
+    _compare(env_x, env_p, steps=1)
+
+
+def test_pallas_pitched_camera():
+    """Nonzero cam_pitch tilts the frustum planes (schedule-level and
+    tile-level culling both use the pitched camera basis); CameraControl
+    actions drive pitch, so a few random steps cover it."""
+    kw = dict(num_envs=2, obs_width=W, obs_height=H)
+    env_x = MiniWorldVec("MiniWorld-CameraControl-v0", **kw)
+    env_p = MiniWorldVec("MiniWorld-CameraControl-v0",
+                         render_backend="pallas", **kw)
+    _compare(env_x, env_p, steps=4)
+
+
 def test_pallas_rejects_unsupported():
     with pytest.raises(ValueError, match="supersampl"):
         MiniWorldVec("MiniWorld-Hallway-v0", num_envs=2, obs_width=W,
