@@ -88,6 +88,11 @@ from miniworld_tpu.render.raycast import FAR, GL_GLOBAL_AMBIENT, NEAR
 from miniworld_tpu.scene.entities import SHAPE_BOX, SHAPE_SPHERE
 
 PX = 128  # pixels per inner tile (one lane row)
+# 2-D tile footprint: each 128-lane tile covers an 8-row x 16-column
+# image block (not a flat 128-pixel run, which would span the full
+# image width and give the tile tests no horizontal locality — a tile
+# containing one open-corridor column could never be skipped).
+TILE_H, TILE_W = 8, 16
 
 
 def _round_up(n, m):
@@ -108,6 +113,7 @@ def _kernel(
     depth_ref,       # (1, NT, PX) VMEM out
     t_scr,           # (NT, PX) f32 scratch — z carry
     at_scr,          # (16 * NT, PX) f32 scratch — attr carry
+    tmax_scr,        # (NT,) f32 SMEM scratch — per-tile carry max
     *,
     width: int,
     height: int,
@@ -120,6 +126,7 @@ def _kernel(
     dr_active: bool,
     has_gain: bool,
     tile_skip: bool,
+    occlusion_skip: bool,
 ):
     bi = pl.program_id(0)
     ci = pl.program_id(1)
@@ -129,14 +136,21 @@ def _kernel(
 
     ox, oy, oz = u(0), u(1), u(2)
     tan_x, tan_y = u(12), u(13)
-    hw = width * height
+    nbx = -(-width // TILE_W)
+
+    def tile_rows_cols(pt):
+        """First image (row, col) of 2-D tile pt (static grid math)."""
+        return (pt // nbx) * TILE_H, (pt % nbx) * TILE_W
 
     def ray_rows(pt):
-        """Per-pixel ray directions for tile pt as (1, PX) lane rows."""
-        pix = pt * PX + jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
-        pix = jnp.minimum(pix, hw - 1)
-        py = pix // width
-        px = pix - py * width
+        """Per-pixel ray directions for 2-D tile pt as (1, PX) lane
+        rows: lane l maps to image (r0 + l // TILE_W, c0 + l % TILE_W),
+        clamped per coordinate for edge-padding lanes (duplicate rays
+        are harmless; the host reassembly crops them)."""
+        r0, c0 = tile_rows_cols(pt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+        py = jnp.minimum(r0 + lane // TILE_W, height - 1)
+        px = jnp.minimum(c0 + lane % TILE_W, width - 1)
         xs = (2.0 * (px.astype(jnp.float32) + 0.5) / width - 1.0) * tan_x
         ys = (1.0 - 2.0 * (py.astype(jnp.float32) + 0.5) / height) * tan_y
         dx = u(3) + xs * u(9) + ys * u(6)
@@ -213,8 +227,27 @@ def _kernel(
                 at_scr[pl.ds(k_ * n_tiles + pt, 1), :] = jnp.where(
                     closer, sel, row
                 )
+            if occlusion_skip:
+                # refresh the tile's occlusion bound (the per-pixel
+                # carry only decreases, so the stale bound of a skipped
+                # tile stays valid)
+                tmax_scr[pt] = jnp.max(jnp.where(closer, t_min, t_best))
 
-        if clipped and tile_skip:
+        if clipped and occlusion_skip:
+            # nearest possible eye-space depth of this chunk: t is Z
+            # along fwd (unit forward component), so project the
+            # minimizing AABB corner. A tile whose every pixel already
+            # carries a closer hit cannot be improved (or tie-broken —
+            # first winner kept) by the chunk: in a maze, a corridor's
+            # end wall occludes every PVS room behind it, tile by tile
+            # (a global max would never fire — sky pixels hold inf).
+            fx, fy, fz = u(3), u(4), u(5)
+            cnx = jnp.where(fx > 0, aabb_ref[0, 0, 0], aabb_ref[0, 0, 3])
+            cny = jnp.where(fy > 0, aabb_ref[0, 0, 1], aabb_ref[0, 0, 4])
+            cnz = jnp.where(fz > 0, aabb_ref[0, 0, 2], aabb_ref[0, 0, 5])
+            dmin = fx * (cnx - ox) + fy * (cny - oy) + fz * (cnz - oz)
+
+        if clipped and (tile_skip or occlusion_skip):
             def chunk_tile(pt, _):
                 # directions of the tile's rays: d = fwd + a*right +
                 # b*up with b in [ys_lo, ys_hi] (tile row edges). A hit
@@ -224,27 +257,47 @@ def _kernel(
                 # corner is outside either plane the tile can't see
                 # the chunk. Scalar math (SMEM reads + ~20 flops) vs
                 # 128 x TC vector work saved per skip.
-                r0 = (pt * PX) // width
-                r1 = ((pt + 1) * PX - 1) // width
-                ys_hi = (1.0 - 2.0 * r0.astype(jnp.float32) / height) * tan_y
-                ys_lo = (
-                    1.0 - 2.0 * (r1.astype(jnp.float32) + 1.0) / height
-                ) * tan_y
-                fx, fy, fz = u(3), u(4), u(5)
-                ux_, uy_, uz_ = u(6), u(7), u(8)
+                skip = jnp.bool_(False)
+                if tile_skip:
+                    # the tile's rays are d = fwd + a*right + b*up with
+                    # b in [ys_lo, ys_hi] and a in [xs_lo, xs_hi] (tile
+                    # edges, conservative); four inward sub-frustum
+                    # planes, p-vertex tested against the chunk AABB
+                    r0, c0 = tile_rows_cols(pt)
+                    r0f = r0.astype(jnp.float32)
+                    c0f = c0.astype(jnp.float32)
+                    ys_hi = (1.0 - 2.0 * r0f / height) * tan_y
+                    ys_lo = (1.0 - 2.0 * (r0f + TILE_H) / height) * tan_y
+                    xs_lo = (2.0 * c0f / width - 1.0) * tan_x
+                    xs_hi = (2.0 * (c0f + TILE_W) / width - 1.0) * tan_x
+                    fx, fy, fz = u(3), u(4), u(5)
+                    ux_, uy_, uz_ = u(6), u(7), u(8)
+                    rx_, ry_, rz_ = u(9), u(10), u(11)
 
-                def outside(nx, ny, nz):
-                    cx = jnp.where(nx > 0, aabb_ref[0, 0, 3], aabb_ref[0, 0, 0])
-                    cy = jnp.where(ny > 0, aabb_ref[0, 0, 4], aabb_ref[0, 0, 1])
-                    cz = jnp.where(nz > 0, aabb_ref[0, 0, 5], aabb_ref[0, 0, 2])
-                    s = nx * (cx - ox) + ny * (cy - oy) + nz * (cz - oz)
-                    return s < -1e-3
+                    def outside(nx, ny, nz):
+                        cx = jnp.where(
+                            nx > 0, aabb_ref[0, 0, 3], aabb_ref[0, 0, 0]
+                        )
+                        cy = jnp.where(
+                            ny > 0, aabb_ref[0, 0, 4], aabb_ref[0, 0, 1]
+                        )
+                        cz = jnp.where(
+                            nz > 0, aabb_ref[0, 0, 5], aabb_ref[0, 0, 2]
+                        )
+                        s = nx * (cx - ox) + ny * (cy - oy) + nz * (cz - oz)
+                        return s < -1e-3
 
-                skip = outside(
-                    ux_ - ys_lo * fx, uy_ - ys_lo * fy, uz_ - ys_lo * fz
-                ) | outside(
-                    ys_hi * fx - ux_, ys_hi * fy - uy_, ys_hi * fz - uz_
-                )
+                    skip = skip | outside(
+                        ux_ - ys_lo * fx, uy_ - ys_lo * fy, uz_ - ys_lo * fz
+                    ) | outside(
+                        ys_hi * fx - ux_, ys_hi * fy - uy_, ys_hi * fz - uz_
+                    ) | outside(
+                        rx_ - xs_lo * fx, ry_ - xs_lo * fy, rz_ - xs_lo * fz
+                    ) | outside(
+                        xs_hi * fx - rx_, xs_hi * fy - ry_, xs_hi * fz - rz_
+                    )
+                if occlusion_skip:
+                    skip = skip | (dmin > tmax_scr[pt])
 
                 @pl.when(jnp.logical_not(skip))
                 def _run_tile():
@@ -262,6 +315,12 @@ def _kernel(
     def _init_carry():
         t_scr[:, :] = jnp.full(t_scr.shape, jnp.inf, jnp.float32)
         at_scr[:, :] = jnp.zeros(at_scr.shape, jnp.float32)
+        if occlusion_skip:
+            def init_tmax(i, _):
+                tmax_scr[i] = jnp.float32(jnp.inf)
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, init_tmax, 0)
         if n_mesh_chunks:
             # dynamic mesh-entity rows (already world-space, attrs with
             # atlas slot indices) compete once, seeding the carry —
@@ -287,9 +346,9 @@ def _kernel(
     # already-resident tri block instead of re-fetching it.
     cur = sched_ref[bi, ci]
     prev = sched_ref[bi, jnp.maximum(ci - 1, 0)]
-    is_repeat = (ci > 0) & (cur == prev)
+    skip = (ci > 0) & (cur == prev)
 
-    @pl.when(jnp.logical_not(is_repeat))
+    @pl.when(jnp.logical_not(skip))
     def _scan_scheduled_chunk():
         def col(k):
             return tri_ref[0, :, k:k + 1]  # (TC, 1)
@@ -536,7 +595,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "k_terms", "tri_chunk", "dr_active",
-        "has_gain", "tile_skip", "interpret",
+        "has_gain", "tile_skip", "occlusion_skip", "interpret",
     ),
 )
 def render_batch_pallas(
@@ -557,15 +616,16 @@ def render_batch_pallas(
     dr_active: bool = False,
     has_gain: bool = False,
     tile_skip: bool = True,
+    occlusion_skip: bool = True,
     interpret: bool = False,
 ):
     """Render B envs. Returns rgb (B,H,W,3) u8 and depth (B,H,W,1) f32."""
     b = layout_ids.shape[0]
     n_sched = sched.shape[1]
     e = ent_attr.shape[1]
-    hw = width * height
-    pxpad = _round_up(hw, PX)
-    n_tiles = pxpad // PX
+    nby = -(-height // TILE_H)
+    nbx = -(-width // TILE_W)
+    n_tiles = nby * nbx
 
     coeffs_t = coeffs.T  # (D, A)
 
@@ -580,6 +640,7 @@ def render_batch_pallas(
 
     if chunk_aabb is None:
         tile_skip = False
+        occlusion_skip = False
         chunk_aabb = jnp.zeros(
             (tri_pack.shape[0], tri_pack.shape[1] // tri_chunk, 6),
             jnp.float32,
@@ -591,6 +652,7 @@ def render_batch_pallas(
         tri_chunk=tri_chunk, num_ents=e, n_tiles=n_tiles,
         n_sched=n_sched, n_mesh_chunks=n_mesh_chunks,
         dr_active=dr_active, has_gain=has_gain, tile_skip=tile_skip,
+        occlusion_skip=occlusion_skip,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -638,6 +700,7 @@ def render_batch_pallas(
         scratch_shapes=[
             pltpu.VMEM((n_tiles, PX), jnp.float32),
             pltpu.VMEM((16 * n_tiles, PX), jnp.float32),
+            pltpu.SMEM((n_tiles,), jnp.float32),
         ],
     )
 
@@ -659,8 +722,15 @@ def render_batch_pallas(
     )(layout_ids, sched, keys, tri_pack, uniforms, ent_attr, coeffs_t,
       mesh_pack, chunk_aabb)
 
-    rgba = rgba.reshape(b, pxpad)[:, :hw]
-    depth = depth.reshape(b, pxpad)[:, :hw]
+    def untile(x):
+        """(B, NT, PX) tile rows -> (B, H, W) image (crop edge pads)."""
+        x = x.reshape(b, nby, nbx, TILE_H, TILE_W)
+        x = x.transpose(0, 1, 3, 2, 4)
+        x = x.reshape(b, nby * TILE_H, nbx * TILE_W)
+        return x[:, :height, :width]
+
+    rgba = untile(rgba)
+    depth = untile(depth)
     rgb = jnp.stack(
         [
             (rgba & 0xFF).astype(jnp.uint8),
@@ -668,8 +738,8 @@ def render_batch_pallas(
             ((rgba >> 16) & 0xFF).astype(jnp.uint8),
         ],
         axis=-1,
-    ).reshape(b, height, width, 3)
-    return rgb, depth.reshape(b, height, width, 1)
+    )
+    return rgb, depth[..., None]
 
 
 def pack_tri_bank(verts9, attr, tri_chunk: int, tex=None):

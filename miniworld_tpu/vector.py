@@ -265,9 +265,40 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
         region_base = {}
         region_nchunks = {}
         pos = 0
+        # room centers for near-to-far region ordering (the Pallas
+        # kernel's occlusion early-out skips a chunk once every pixel's
+        # z-carry beats its nearest depth — only effective when nearer
+        # rooms render first; the XLA scan is order-invariant)
+        ra = bank_np.room_aabb[li]
+        centers = np.stack(
+            [(ra[:, 0] + ra[:, 1]) * 0.5, (ra[:, 2] + ra[:, 3]) * 0.5],
+            axis=1,
+        )
         for key, _rid in vsets.items():
+            reps = [r for r in rooms if room_vset[r] == key]
+            # Nearest-neighbor CHAIN from the representative room, not
+            # a plain distance sort: rooms at equal radius ring the
+            # representative, and a sort puts opposite sides of the
+            # ring in consecutive chunks — their AABBs then span the
+            # whole scene and neither the occlusion early-out nor the
+            # tile wedge test can ever fire. The chain keeps
+            # consecutive rooms spatially contiguous (corridors pack
+            # in walk order) while still starting at the camera's room.
+            cur_pt = centers[reps[0]] if reps else centers[0]
+            remaining = set(key)
+            order = []
+            while remaining:
+                nxt = min(
+                    remaining,
+                    key=lambda r: (
+                        float(np.sum((centers[r] - cur_pt) ** 2)), r,
+                    ),
+                )
+                order.append(nxt)
+                remaining.discard(nxt)
+                cur_pt = centers[nxt]
             idx = np.concatenate(
-                [glob] + [tris_of[r] for r in sorted(key)]
+                [glob] + [tris_of[r] for r in order]
             ).astype(np.int64) if (len(glob) or key) else np.zeros(0, np.int64)
             n_chunks = max(-(-len(idx) // k), 1)
             region_base[key] = pos // k
@@ -478,6 +509,11 @@ class MiniWorldVec:
                 bank_np, pallas_pack=pack,
                 pallas_chunk_aabb=pack_chunk_aabbs(pack, self.tri_chunk),
             )
+            # A/B toggles for the kernel's dynamic work skipping
+            # (flip BEFORE the first render — the jitted program
+            # bakes them in as statics)
+            self._pallas_tile_skip = True
+            self._pallas_occlusion_skip = True
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
@@ -888,6 +924,8 @@ class MiniWorldVec:
             width=self.obs_width, height=self.obs_height,
             k_terms=self.fourier_k, tri_chunk=self.tri_chunk,
             dr_active=self.domain_rand, has_gain=self._tex_has_gain,
+            tile_skip=self._pallas_tile_skip,
+            occlusion_skip=self._pallas_occlusion_skip,
             # Mosaic only lowers on TPU; tests exercise the kernel
             # through the interpreter on the forced-CPU backend
             interpret=jax.default_backend() == "cpu",

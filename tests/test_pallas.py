@@ -157,15 +157,45 @@ def test_pallas_matches_xla_chunk_vis(monkeypatch):
     _compare(env_x, env_p, steps=2)
 
 
+def _tile_wedge_out(pt, mn, mx, o, fwd, up, right, tan_x, tan_y,
+                    width, height):
+    """Host replica of the kernel's 4-plane per-tile wedge test."""
+    from miniworld_tpu.render.pallas_kernel2 import TILE_H, TILE_W
+
+    nbx = -(-width // TILE_W)
+    r0, c0 = (pt // nbx) * TILE_H, (pt % nbx) * TILE_W
+    ys_hi = (1.0 - 2.0 * r0 / height) * tan_y
+    ys_lo = (1.0 - 2.0 * (r0 + TILE_H) / height) * tan_y
+    xs_lo = (2.0 * c0 / width - 1.0) * tan_x
+    xs_hi = (2.0 * (c0 + TILE_W) / width - 1.0) * tan_x
+    out = False
+    for n in (up - ys_lo * fwd, ys_hi * fwd - up,
+              right - xs_lo * fwd, xs_hi * fwd - right):
+        corner = np.where(n > 0, mx, mn)
+        out |= float(n @ (corner - o)) < -1e-3
+    return out
+
+
+def _tile_pixels(pt, width, height):
+    """Flat pixel indices a 2-D tile's 128 lanes map to (with the
+    kernel's per-coordinate edge clamping)."""
+    from miniworld_tpu.render.pallas_kernel2 import TILE_H, TILE_W
+
+    nbx = -(-width // TILE_W)
+    r0, c0 = (pt // nbx) * TILE_H, (pt % nbx) * TILE_W
+    rows = np.minimum(np.arange(TILE_H) + r0, height - 1)
+    cols = np.minimum(np.arange(TILE_W) + c0, width - 1)
+    return (rows[:, None] * width + cols[None, :]).reshape(-1)
+
+
 def test_pallas_tile_skip_engages():
-    """The kernel's per-(chunk, pixel-tile) vertical-wedge test must
-    actually fire on maze scenes (a far room's chunk subtends few image
-    rows, so near-floor/ceiling tiles skip it). Replicates the kernel's
-    scalar predicate on the host for one env and requires both skipped
-    and kept tiles; pixel correctness of skipping is covered by the
-    _compare parity tests."""
+    """The kernel's per-(chunk, 2-D pixel-tile) wedge test must
+    actually fire on maze scenes (a far room's chunk projects to few
+    image tiles). Replicates the kernel's scalar predicate on the host
+    and requires both skipped and kept tiles; pixel correctness of
+    skipping is covered by the _compare parity tests."""
     from miniworld_tpu.ops import geom
-    from miniworld_tpu.render.pallas_kernel2 import PX
+    from miniworld_tpu.render.pallas_kernel2 import TILE_H, TILE_W
 
     spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
                                num_layouts=2)
@@ -179,27 +209,22 @@ def test_pallas_tile_skip_engages():
     state, _ = env_p.reset(jax.random.key(2))
     sched = np.asarray(env_p._pallas_schedules(env_p._bank, state))
     aabb = np.asarray(env_p._bank.pallas_chunk_aabb)
-    hw = W * H
-    n_tiles = -(-hw // PX)
+    n_tiles = (-(-H // TILE_H)) * (-(-W // TILE_W))
     skips = keeps = 0
     for b in range(4):
         s = jax.tree.map(lambda x: x[b], state)
-        fwd, up, _ = map(np.asarray, geom.cam_basis(s.dir, s.cam_pitch))
+        fwd, up, right = map(
+            np.asarray, geom.cam_basis(s.dir, s.cam_pitch))
         o = np.asarray(geom.cam_position(
             s.pos, s.dir, s.cam_height, s.cam_fwd_disp))
         tan_y = float(np.tan(np.deg2rad(np.asarray(s.cam_fov_y)) * 0.5))
+        tan_x = tan_y * (W / H)
         lid = int(s.layout_id)
-        chunks = np.unique(sched[b])
         for pt in range(n_tiles):
-            r0, r1 = (pt * PX) // W, ((pt + 1) * PX - 1) // W
-            ys_hi = (1.0 - 2.0 * r0 / H) * tan_y
-            ys_lo = (1.0 - 2.0 * (r1 + 1.0) / H) * tan_y
-            for c in chunks:
-                mn, mx = aabb[lid, c, 0:3], aabb[lid, c, 3:6]
-                out = False
-                for n in (up - ys_lo * fwd, ys_hi * fwd - up):
-                    corner = np.where(n > 0, mx, mn)
-                    out |= float(n @ (corner - o)) < -1e-3
+            for c in np.unique(sched[b]):
+                out = _tile_wedge_out(
+                    pt, aabb[lid, c, 0:3], aabb[lid, c, 3:6], o, fwd,
+                    up, right, tan_x, tan_y, W, H)
                 skips += out
                 keeps += not out
     assert skips > 0 and keeps > 0, (skips, keeps)
@@ -215,6 +240,96 @@ def test_pallas_tile_skip_parity_full_res():
     env_x = MiniWorldVec(spec, **kw)
     env_p = MiniWorldVec(spec, render_backend="pallas", **kw)
     _compare(env_x, env_p, steps=1)
+
+
+def test_pallas_occlusion_skip_exact():
+    """Occlusion early-out (skip a chunk once every pixel's z-carry
+    beats its nearest depth) must not change a single pixel: compare
+    the kernel against itself with the feature off, bit-for-bit —
+    isolating it from the first-win-vs-average tie caveat of the XLA
+    comparison. Small chunks + an 8x8 maze give depth-sorted rooms
+    behind walls, the case the skip targets."""
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
+                               num_layouts=2)
+    kw = dict(num_envs=4, obs_width=W, obs_height=H, bank_seed=3,
+              render_backend="pallas", tri_chunk=16)
+    env_a = MiniWorldVec(spec, **kw)
+    env_b = MiniWorldVec(spec, **kw)
+    env_b._pallas_occlusion_skip = False
+    key = jax.random.key(9)
+    sa, (oa, da) = env_a.reset(key)
+    sb, (ob, db) = env_b.reset(key)
+    for i in range(2):
+        acts = env_a.sample_actions(jax.random.key(20 + i))
+        sa, (oa, da), *_ = env_a.step(sa, acts)
+        sb, (ob, db), *_ = env_b.step(sb, acts)
+    assert np.array_equal(np.asarray(oa), np.asarray(ob))
+    assert np.array_equal(np.asarray(da), np.asarray(db))
+
+
+def test_pallas_occlusion_skip_engages():
+    """Simulates the kernel's per-tile occlusion state machine exactly
+    (per-chunk z from the XLA _tri_pass — partition-invariant, so it
+    equals the kernel's — composed by running min; per-tile carry-max
+    bounds refreshed only when a tile runs, like tmax_scr) and checks
+    the dmin > tile_max early-out genuinely fires on a maze, where a
+    corridor's end wall occludes the PVS rooms behind it."""
+    from miniworld_tpu.ops import geom
+    from miniworld_tpu.render.pallas_kernel2 import TILE_H, TILE_W
+    from miniworld_tpu.render.raycast import _tri_pass, camera_rays
+
+    # production shape: 80x60 (75 tiles), fine chunks. Envs 6/7 of this
+    # seed look down corridors with PVS rooms hidden behind end walls —
+    # the sweep that picked them measured 15/34 occlusion tile-skips
+    # (plus ~150 wedge skips) there.
+    WW, HH = 80, 60
+    spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"),
+                               num_layouts=2)
+    env_p = MiniWorldVec(spec, num_envs=8, obs_width=WW, obs_height=HH,
+                         bank_seed=3, render_backend="pallas",
+                         tri_chunk=16)
+    state, _ = env_p.reset(jax.random.key(4))
+    sched = np.asarray(env_p._pallas_schedules(env_p._bank, state))
+    aabb = np.asarray(env_p._bank.pallas_chunk_aabb)
+    bank = env_p._bank
+    n_tiles = (-(-HH // TILE_H)) * (-(-WW // TILE_W))
+    tiles = [_tile_pixels(pt, WW, HH) for pt in range(n_tiles)]
+    fired = 0
+    for b in (4, 6, 7):
+        s = jax.tree.map(lambda x: x[b], state)
+        fwd, up, right = map(
+            np.asarray, geom.cam_basis(s.dir, s.cam_pitch))
+        o = np.asarray(geom.cam_position(
+            s.pos, s.dir, s.cam_height, s.cam_fwd_disp))
+        tan_y = float(np.tan(np.deg2rad(np.asarray(s.cam_fov_y)) * 0.5))
+        tan_x = tan_y * (WW / HH)
+        dirs = camera_rays(s, WW, HH)
+        lid = int(s.layout_id)
+        t_carry = np.full(WW * HH, np.inf, np.float32)
+        tmax = np.full(n_tiles, np.inf, np.float32)
+        for c in range(sched.shape[1]):
+            if c > 0 and sched[b, c] == sched[b, c - 1]:
+                continue  # repeat slot — skipped before tile tests
+            chunk = int(sched[b, c])
+            mn, mx = aabb[lid, chunk, 0:3], aabb[lid, chunk, 3:6]
+            dmin = float(fwd @ (np.where(fwd > 0, mn, mx) - o))
+            t_c, _ = _tri_pass(
+                bank.pvs_verts9, bank.pvs_attr, s.layout_id,
+                jnp.asarray(o), dirs, env_p.tri_chunk,
+                chunk_sched=jnp.full((1,), chunk, jnp.int32),
+            )
+            t_c = np.asarray(t_c)
+            for pt in range(n_tiles):
+                wedge_out = _tile_wedge_out(
+                    pt, mn, mx, o, fwd, up, right, tan_x, tan_y, WW, HH)
+                occl = dmin > tmax[pt]
+                fired += occl and not wedge_out
+                if wedge_out or occl:
+                    continue  # tile skipped: carry and bound untouched
+                pix = tiles[pt]
+                t_carry[pix] = np.minimum(t_carry[pix], t_c[pix])
+                tmax[pt] = t_carry[pix].max()
+    assert fired > 0
 
 
 def test_pallas_pitched_camera():
