@@ -35,11 +35,16 @@ DEFAULT_ENVS = [
 
 
 def bench_env(env_id: str, backend: str, num_envs: int, horizon: int,
-              trials: int):
+              trials: int, tri_chunk: int | None = None,
+              skips: bool = True):
     from miniworld_tpu import MiniWorldVec
 
+    kw = {} if tri_chunk is None else {"tri_chunk": tri_chunk}
     env = MiniWorldVec(env_id, num_envs=num_envs, obs_width=80,
-                       obs_height=60, render_backend=backend)
+                       obs_height=60, render_backend=backend, **kw)
+    if backend == "pallas" and not skips:
+        env._pallas_tile_skip = False
+        env._pallas_occlusion_skip = False
     state, obs = env.reset(jax.random.key(0))
     state, obs, outs = env.rollout(state, obs, jax.random.key(1), horizon)
     jax.block_until_ready(outs["obs_sum"])
@@ -76,8 +81,32 @@ def main():
     ap.add_argument("--num-envs", type=int, default=1024)
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--sweep-tri-chunk", type=int, nargs="*",
+                    default=None, metavar="K",
+                    help="pallas-only: re-bench one env per chunk size "
+                         "(finer chunks = finer culling; the XLA "
+                         "planner's optimum need not be the kernel's)")
+    ap.add_argument("--no-skips", action="store_true",
+                    help="pallas-only: disable tile/occlusion skipping "
+                         "to isolate its contribution")
     args = ap.parse_args()
     env_ids = args.envs or DEFAULT_ENVS
+
+    if args.sweep_tri_chunk:
+        for env_id in env_ids:
+            for k in args.sweep_tri_chunk:
+                row = {"env": env_id, "B": args.num_envs, "tri_chunk": k,
+                       "skips": not args.no_skips}
+                try:
+                    _, sps = bench_env(env_id, "pallas", args.num_envs,
+                                       args.horizon, args.trials,
+                                       tri_chunk=k,
+                                       skips=not args.no_skips)
+                    row["pallas_steps_s"] = round(sps)
+                except Exception as e:  # noqa: BLE001
+                    row["pallas_error"] = repr(e)[:200]
+                print(json.dumps(row), flush=True)
+        return
 
     for env_id in env_ids:
         row = {"env": env_id, "B": args.num_envs}
