@@ -70,7 +70,10 @@ Contracts:
     frustum-culled chunks as repeats).
   coeffs (D, A) f32: the shared transposed Fourier atlas.
   chunk_aabb (L, C, 6) f32 [SMEM]: per-chunk [min_xyz|max_xyz], used
-    to skip pixel tiles whose vertical sub-wedge misses the chunk.
+    to skip pixel tiles whose 4-plane sub-frustum misses the chunk or
+    whose carried hits all beat its nearest depth (occlusion).
+  mesh_aabb (B, MC, 6) f32 [SMEM]: same, per mesh-row chunk (live
+    rows only), so the entity seeding pass tile-culls as well.
   outputs rgba (B, NT, 128) u32 0xAABBGGRR + depth f32.
 """
 
@@ -108,7 +111,8 @@ def _kernel(
     ent_ref,         # (1, E, 16) SMEM
     coef_ref,        # (D, A) VMEM (shared atlas, transposed)
     mesh_ref,        # (1, EM_pad, 32) VMEM — dynamic mesh rows (or (1,8,32) dummy)
-    aabb_ref,        # (1, 1, 8) SMEM — the scheduled chunk's AABB
+    aabb_ref,        # (1, 1, 6) SMEM — the scheduled chunk's AABB
+    mesh_aabb_ref,   # (1, MC, 6) SMEM — per-mesh-chunk AABBs (live rows)
     rgba_ref,        # (1, NT, PX) VMEM out
     depth_ref,       # (1, NT, PX) VMEM out
     t_scr,           # (NT, PX) f32 scratch — z carry
@@ -158,19 +162,19 @@ def _kernel(
         dz = u(5) + xs * u(11) + ys * u(8)
         return dx, dy, dz
 
-    def scan_rows(col, slot_override_col=None, clipped=False):
+    def scan_rows(col, slot_override_col=None, box=None):
         """Compete one (TC, 32) row block against every pixel tile's
         carry. ``col(k)`` yields the block's column k as (TC, 1);
         ``slot_override_col`` substitutes the attr slot column.
 
-        ``clipped``: additionally skip whole pixel tiles whose vertical
-        sub-wedge cannot reach the chunk's AABB (aabb_ref) — a tile is
-        ~PX/width image rows, so a distant room's chunk subtends only a
-        few tiles around the horizon and the near-floor / ceiling tiles
-        skip its 128 x TC math entirely. Conservative p-vertex plane
-        test against the tile's top/bottom planes (the left/right
-        planes were already applied per env when the schedule was
-        built), so renders stay pixel-identical."""
+        ``box`` (callable k -> scalar, the block's AABB as
+        [min_xyz|max_xyz]): when given, whole pixel tiles are skipped
+        if the tile's 4-plane sub-frustum cannot reach the box
+        (tile_skip; conservative p-vertex test) or every pixel in the
+        tile already carries a hit nearer than the box's nearest
+        forward-projected depth (occlusion_skip; per-tile carry-max
+        bounds in tmax_scr). Both are conservative — renders stay
+        pixel-identical."""
         v0x, v0y, v0z = col(0), col(1), col(2)
         e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
         e2x, e2y, e2z = col(6) - v0x, col(7) - v0y, col(8) - v0z
@@ -233,21 +237,21 @@ def _kernel(
                 # tile stays valid)
                 tmax_scr[pt] = jnp.max(jnp.where(closer, t_min, t_best))
 
-        if clipped and occlusion_skip:
-            # nearest possible eye-space depth of this chunk: t is Z
+        if box is not None and occlusion_skip:
+            # nearest possible eye-space depth of this block: t is Z
             # along fwd (unit forward component), so project the
             # minimizing AABB corner. A tile whose every pixel already
             # carries a closer hit cannot be improved (or tie-broken —
-            # first winner kept) by the chunk: in a maze, a corridor's
+            # first winner kept) by the block: in a maze, a corridor's
             # end wall occludes every PVS room behind it, tile by tile
             # (a global max would never fire — sky pixels hold inf).
             fx, fy, fz = u(3), u(4), u(5)
-            cnx = jnp.where(fx > 0, aabb_ref[0, 0, 0], aabb_ref[0, 0, 3])
-            cny = jnp.where(fy > 0, aabb_ref[0, 0, 1], aabb_ref[0, 0, 4])
-            cnz = jnp.where(fz > 0, aabb_ref[0, 0, 2], aabb_ref[0, 0, 5])
+            cnx = jnp.where(fx > 0, box(0), box(3))
+            cny = jnp.where(fy > 0, box(1), box(4))
+            cnz = jnp.where(fz > 0, box(2), box(5))
             dmin = fx * (cnx - ox) + fy * (cny - oy) + fz * (cnz - oz)
 
-        if clipped and (tile_skip or occlusion_skip):
+        if box is not None and (tile_skip or occlusion_skip):
             def chunk_tile(pt, _):
                 # directions of the tile's rays: d = fwd + a*right +
                 # b*up with b in [ys_lo, ys_hi] (tile row edges). A hit
@@ -275,15 +279,9 @@ def _kernel(
                     rx_, ry_, rz_ = u(9), u(10), u(11)
 
                     def outside(nx, ny, nz):
-                        cx = jnp.where(
-                            nx > 0, aabb_ref[0, 0, 3], aabb_ref[0, 0, 0]
-                        )
-                        cy = jnp.where(
-                            ny > 0, aabb_ref[0, 0, 4], aabb_ref[0, 0, 1]
-                        )
-                        cz = jnp.where(
-                            nz > 0, aabb_ref[0, 0, 5], aabb_ref[0, 0, 2]
-                        )
+                        cx = jnp.where(nx > 0, box(3), box(0))
+                        cy = jnp.where(ny > 0, box(4), box(1))
+                        cz = jnp.where(nz > 0, box(5), box(2))
                         s = nx * (cx - ox) + ny * (cy - oy) + nz * (cz - oz)
                         return s < -1e-3
 
@@ -330,7 +328,7 @@ def _kernel(
                     return mesh_ref[0, pl.ds(mc * tri_chunk, tri_chunk),
                                     k:k + 1]
 
-                scan_rows(mcol)
+                scan_rows(mcol, box=lambda k: mesh_aabb_ref[0, mc, k])
                 return 0
 
             jax.lax.fori_loop(0, n_mesh_chunks, mesh_chunk, 0)
@@ -370,7 +368,8 @@ def _kernel(
         else:
             slot_col = None  # baked atlas index in the attr column
 
-        scan_rows(col, slot_override_col=slot_col, clipped=True)
+        scan_rows(col, slot_override_col=slot_col,
+                  box=lambda k: aabb_ref[0, 0, k])
 
     # ---- finalize: entities + texture + shade, once per env ------------
     @pl.when(ci == n_sched - 1)
@@ -608,6 +607,7 @@ def render_batch_pallas(
     coeffs,      # (A, D) f32 shared Fourier atlas
     mesh_pack=None,  # (B, EM_pad, 32) f32 dynamic mesh rows, or None
     chunk_aabb=None,  # (L, C, 6) f32 per-chunk AABBs, or None
+    mesh_aabb=None,  # (B, MC, 6) f32 per-mesh-chunk AABBs, or None
     *,
     width: int,
     height: int,
@@ -644,6 +644,15 @@ def render_batch_pallas(
         chunk_aabb = jnp.zeros(
             (tri_pack.shape[0], tri_pack.shape[1] // tri_chunk, 6),
             jnp.float32,
+        )
+    if mesh_aabb is None:
+        # no tile culling of the mesh seeding pass: a zero box at the
+        # origin would be WRONG, so use an everything-box (the tile
+        # tests then always keep)
+        mesh_aabb = jnp.tile(
+            jnp.asarray([-3e38, -3e38, -3e38, 3e38, 3e38, 3e38],
+                        jnp.float32),
+            (b, max(n_mesh_chunks, 1), 1),
         )
 
     kernel = functools.partial(
@@ -686,6 +695,11 @@ def render_batch_pallas(
                 lambda bi, ci, lids, sch, keys: (lids[bi], sch[bi, ci], 0),
                 memory_space=pltpu.SMEM,
             ),
+            pl.BlockSpec(
+                (1, mesh_aabb.shape[1], 6),
+                lambda bi, ci, lids, sch, keys: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -720,7 +734,7 @@ def render_batch_pallas(
         ),
         interpret=interpret,
     )(layout_ids, sched, keys, tri_pack, uniforms, ent_attr, coeffs_t,
-      mesh_pack, chunk_aabb)
+      mesh_pack, chunk_aabb, mesh_aabb)
 
     def untile(x):
         """(B, NT, PX) tile rows -> (B, H, W) image (crop edge pads)."""

@@ -457,9 +457,16 @@ def eval_nearest(atlas: jax.Array, tex_map: jax.Array, slot: jax.Array,
     return jnp.where((slot_i >= 0)[:, None], texel, 1.0)
 
 
-def entity_mesh_rows(bank, layout_id, state, fourier: bool):
+def entity_mesh_rows(bank, layout_id, state, fourier: bool,
+                     return_valid: bool = False):
     """World-space triangle rows of every dynamic mesh entity:
-    (verts (E*M, 3, 3), attrs (E*M, ATTR_DIM)).
+    (verts (E*M, 3, 3), attrs (E*M, ATTR_DIM)[, valid (E*M,) bool]).
+
+    ``return_valid`` additionally returns the live-row mask (active
+    non-static mesh entity AND real mesh row) — the Pallas path needs
+    it to build per-chunk AABBs that exclude the zeroed deactivated
+    rows (whose degenerate verts would otherwise inflate every box
+    toward the world origin).
 
     Each SHAPE_MESH_TRIS prototype carries its decimated LOCAL-space
     triangle rows (scene/entities._mesh_tri_rows); per frame every
@@ -529,12 +536,15 @@ def entity_mesh_rows(bank, layout_id, state, fourier: bool):
             axis=1,
         )
         # deactivated rows collapse to degenerate geometry (no hit)
-        verts = jnp.where((rmask & active)[:, None, None], verts, 0.0)
-        return verts, attrs
+        valid = rmask & active
+        verts = jnp.where(valid[:, None, None], verts, 0.0)
+        return verts, attrs, valid
 
-    verts, attrs = jax.vmap(world_rows)(jnp.arange(num_ents))
+    verts, attrs, valid = jax.vmap(world_rows)(jnp.arange(num_ents))
     verts = verts.reshape(-1, 3, 3)  # (E*M, 3, 3)
     attrs = attrs.reshape(-1, ATTR_DIM)
+    if return_valid:
+        return verts, attrs, valid.reshape(-1)
     return verts, attrs
 
 

@@ -894,25 +894,36 @@ class MiniWorldVec:
         n_chunks = bank.pallas_pack.shape[1] // self.tri_chunk
         lid = state.layout_id
 
-        mesh_pack = None
+        mesh_pack = mesh_aabb = None
         if self._shapes_present[2]:
             # dynamic mesh entities: world-space rows per env in the
             # kernel's pack layout (the XLA path builds the same rows
-            # for its seeding pass — raycast.entity_mesh_rows)
+            # for its seeding pass — raycast.entity_mesh_rows), plus
+            # per-chunk AABBs over LIVE rows (the kernel tile-culls
+            # the seeding pass like any other chunk; entities project
+            # to a handful of tiles)
             tc = self.tri_chunk
 
             def mesh_one(s):
-                verts, attrs = entity_mesh_rows(
-                    bank, s.layout_id, s, fourier=True
+                verts, attrs, valid = entity_mesh_rows(
+                    bank, s.layout_id, s, fourier=True,
+                    return_valid=True,
                 )
                 em = verts.shape[0]
                 em_pad = -(-em // tc) * tc
                 rows = jnp.zeros((em_pad, 32), jnp.float32)
                 rows = rows.at[:em, 0:9].set(verts.reshape(em, 9))
                 rows = rows.at[:em, 9:25].set(attrs)
-                return rows
+                mc = em_pad // tc
+                v = jnp.zeros((em_pad, 3, 3), jnp.float32).at[:em].set(verts)
+                m = jnp.zeros((em_pad,), bool).at[:em].set(valid)
+                v = v.reshape(mc, tc, 3, 3)
+                m = m[:, None, None].reshape(mc, tc, 1, 1)
+                mn = jnp.min(jnp.where(m, v, jnp.inf), axis=(1, 2))
+                mx = jnp.max(jnp.where(m, v, -jnp.inf), axis=(1, 2))
+                return rows, jnp.concatenate([mn, mx], axis=1)
 
-            mesh_pack = jax.vmap(mesh_one)(state)
+            mesh_pack, mesh_aabb = jax.vmap(mesh_one)(state)
 
         keys = jax.lax.bitcast_convert_type(
             state.tri_slots.astype(jnp.uint32), jnp.int32
@@ -920,7 +931,7 @@ class MiniWorldVec:
         rgb, depth = render_batch_pallas(
             lid, sched, keys, bank.pallas_pack,
             uniforms[:, None, :], ent_attr, atlas, mesh_pack,
-            bank.pallas_chunk_aabb,
+            bank.pallas_chunk_aabb, mesh_aabb,
             width=self.obs_width, height=self.obs_height,
             k_terms=self.fourier_k, tri_chunk=self.tri_chunk,
             dr_active=self.domain_rand, has_gain=self._tex_has_gain,
