@@ -81,6 +81,10 @@ class EnvSpec:
     # Agent bounding radius (RoomObjects overrides to 1.5,
     # roomobjects.py:67; otherwise entity.py:470)
     agent_radius: float = 0.4
+    # On-device placement retry budget (ops/place.py). Specs with low
+    # per-try acceptance (large agent radius, dense rooms) raise it;
+    # exhaustion falls back to an in-room clamped spawn.
+    place_budget: int = 16
     # Fourier texture-table terms for this env class; 0 = the global
     # default (textures.FOURIER_TERMS). Glyph-bearing envs (Sign) raise
     # it: K=32 cannot carry legible handwritten strokes even as an SDF

@@ -549,6 +549,13 @@ class RoomObjects(EnvSpec):
     gym_id: str = "MiniWorld-RoomObjects-v0"
     max_episode_steps: int = 10**9  # reference uses math.inf
     size: float = 10
+    # roomobjects.py:67 sets agent.radius = 1.5 every reset, so the
+    # whole EPISODE (move collision, pickup probe) runs at 1.5 — not
+    # just placement (world.agent_radius below)
+    agent_radius: float = 1.5
+    # radius 1.5 drops per-try placement acceptance to ~0.2; 48 tries
+    # make exhaustion (clamped-spawn fallback) vanishingly rare again
+    place_budget: int = 48
 
     def build(self, world, rng, layout_rng=None, layout_idx=0):
         from miniworld_tpu.scene.entities import COLOR_NAMES
@@ -559,10 +566,15 @@ class RoomObjects(EnvSpec):
         )
         world.agent_radius = 1.5  # roomobjects.py:67
         if rng is not None:
-            colors = [COLOR_NAMES[int(rng.choice(len(COLOR_NAMES)))] for _ in range(3)]
-            world.place(world.proto_id("box", colors[0], 0.9))
-            world.place(world.proto_id("ball", colors[1], 0.9))
-            world.place(world.proto_id("key", colors[2]))
+            # each color draw interleaves with its placement's
+            # rejection sampling (roomobjects.py:70-76) — drawing all
+            # three up front desynchronizes the np_random stream
+            c = COLOR_NAMES[int(rng.choice(len(COLOR_NAMES)))]
+            world.place(world.proto_id("box", c, 0.9))
+            c = COLOR_NAMES[int(rng.choice(len(COLOR_NAMES)))]
+            world.place(world.proto_id("ball", c, 0.9))
+            c = COLOR_NAMES[int(rng.choice(len(COLOR_NAMES)))]
+            world.place(world.proto_id("key", c))
         else:
             world.place([world.proto_id("box", c, 0.9) for c in COLOR_NAMES])
             world.place([world.proto_id("ball", c, 0.9) for c in COLOR_NAMES])

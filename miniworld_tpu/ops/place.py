@@ -105,9 +105,25 @@ def place_one(
         return (found | ok, best), None
 
     keys = jax.random.split(k_tries, budget)
-    # Fallback: last try's position even if invalid (never fires in practice).
     init_pos, _ = one_try(keys[-1])
     (found, pos), _ = jax.lax.scan(body, (jnp.bool_(False), init_pos), keys)
+
+    # Budget exhausted (large radii, e.g. RoomObjects' 1.5 agent, can
+    # push per-try success low enough to fire): clamp the fallback
+    # into the rule room's bbox inset by the radius, so the worst case
+    # is an overlapping-but-in-room spawn — never an out-of-room one
+    # the walls would then trap outside.
+    k_room2 = jax.random.fold_in(k_tries, 1)
+    room_idx = jnp.where(rule_room >= 0, rule_room, sample_room(k_room2, lay))
+    aabb = lay.room_aabb[room_idx]
+    ctr = jnp.stack([
+        jnp.clip(pos[0], jnp.minimum(aabb[0] + radius, aabb[1] - radius),
+                 jnp.maximum(aabb[0] + radius, aabb[1] - radius)),
+        pos[1] * 0.0,
+        jnp.clip(pos[2], jnp.minimum(aabb[2] + radius, aabb[3] - radius),
+                 jnp.maximum(aabb[2] + radius, aabb[3] - radius)),
+    ])
+    pos = jnp.where(found, pos, ctr)
 
     pos = jnp.where(exact, jnp.nan_to_num(rule_pos), pos)
     d = sample_dir(k_dir)

@@ -351,7 +351,7 @@ class MiniWorldVec:
         bank_seed: int = 0,
         tri_chunk: int = 128,
         with_depth: bool = True,
-        place_budget: int = 16,
+        place_budget: int | None = None,  # None -> spec.place_budget
         tex_mode: str = "fourier",
         fourier_k: int | None = None,
         render_backend: str = "auto",
@@ -367,7 +367,9 @@ class MiniWorldVec:
         self.obs_height = obs_height or spec.obs_height
         self.domain_rand = domain_rand
         self.with_depth = with_depth
-        self.place_budget = place_budget
+        self.place_budget = (
+            spec.place_budget if place_budget is None else place_budget
+        )
         # Auto-size the triangle chunk: the render scan materializes
         # (B, H*W, tri_chunk) f32 intermediates. Bigger chunks mean
         # fewer scan iterations (fewer carry read-writes — measured 30%

@@ -38,6 +38,9 @@ CASES = [
     ("PickupObjects", "MiniWorld-PickupObjects-v0", 21, 200, False),
     ("Sidewalk", "MiniWorld-Sidewalk-v0", 13, 120, False),
     ("WallGap", "MiniWorld-WallGap-v0", 29, 120, False),
+    ("NavigateWallGap", "MiniWorld-NavigateWallGap-v0", 37, 150, False),
+    ("RoomObjects", "MiniWorld-RoomObjects-v0", 97, 120, False),
+    ("Maze", "MiniWorld-Maze-v0", 101, 150, False),
     # CollectHealth is excluded: the reference env cannot execute ANY
     # legal action (collecthealth.py:83 compares the Box(6) vector to
     # an enum scalar -> ValueError, and scalar actions are rejected by
