@@ -145,6 +145,9 @@ _PORTAL_PAIRS = [
     ("TMazeRight", "MiniWorld-TMazeRight-v0"),
     ("Sidewalk", "MiniWorld-Sidewalk-v0"),  # open-air + street termination
     ("PutNext", "MiniWorld-PutNext-v0"),  # many movable boxes
+    # agent radius 1.5 for the whole episode (roomobjects.py:67):
+    # move collision and the 1.8-radius pickup probe at the override
+    ("RoomObjects", "MiniWorld-RoomObjects-v0"),
 ]
 
 
