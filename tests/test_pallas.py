@@ -332,6 +332,16 @@ def test_pallas_occlusion_skip_engages():
     assert fired > 0
 
 
+def test_pallas_odd_obs_size():
+    """Obs dims that are not TILE_H/TILE_W multiples (50x37) exercise
+    the 2-D tile edge clamping and the host-side untile crop."""
+    kw = dict(num_envs=2, obs_width=50, obs_height=37)
+    env_x = MiniWorldVec("MiniWorld-Hallway-v0", **kw)
+    env_p = MiniWorldVec("MiniWorld-Hallway-v0", render_backend="pallas",
+                         **kw)
+    _compare(env_x, env_p, steps=2)
+
+
 def test_pallas_pitched_camera():
     """Nonzero cam_pitch tilts the frustum planes (schedule-level and
     tile-level culling both use the pitched camera basis); CameraControl
