@@ -332,6 +332,17 @@ def test_pallas_occlusion_skip_engages():
     assert fired > 0
 
 
+def test_pallas_many_mesh_entities():
+    """CollectHealth's 18 medkit mesh entities produce the largest
+    mesh-row pack (multiple mesh chunks) — the heaviest exercise of
+    the seeding pass's per-chunk AABB tile culling."""
+    kw = dict(num_envs=2, obs_width=W, obs_height=H)
+    env_x = MiniWorldVec("MiniWorld-CollectHealth-v0", **kw)
+    env_p = MiniWorldVec("MiniWorld-CollectHealth-v0",
+                         render_backend="pallas", **kw)
+    _compare(env_x, env_p, steps=2, frac_tol=0.02)
+
+
 def test_pallas_odd_obs_size():
     """Obs dims that are not TILE_H/TILE_W multiples (50x37) exercise
     the 2-D tile edge clamping and the host-side untile crop."""
