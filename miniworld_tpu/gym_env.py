@@ -520,14 +520,21 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
         """RGB-D observation (miniworld.py:1305-1318); depth in meters."""
         return self.render_obs(depth=True)
 
-    def render_top_view(self, width: int | None = None, height: int | None = None):
-        """Orthographic top-down map view (miniworld.py:1171-1258)."""
+    def render_top_view(self, width: int | None = None, height: int | None = None,
+                        render_agent: bool = True, return_scale: bool = False):
+        """Orthographic top-down map view (miniworld.py:1171-1258).
+
+        ``render_agent`` toggles the red agent triangle;
+        ``return_scale=True`` additionally returns the reference's
+        world→pixel mapping dict (miniworld.py:1245-1256):
+        ``{"x_scale", "z_scale", "x_offset", "z_offset"}``.
+        """
         import jax
         import jax.numpy as jnp
 
         w = width or self.obs_width
         h = height or self.obs_height
-        key = ("topview", w, h)
+        key = ("topview", w, h, render_agent)
         if key not in _RENDER_JIT:
             from miniworld_tpu.render.topview import render_top_view
 
@@ -536,16 +543,43 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
                     bank, state, {"mode": "nearest", "atlas": atlas},
                     width=w, height=h,
                     extents=extents, agent_radius=agent_radius,
+                    render_agent=render_agent,
                 )
 
             _RENDER_JIT[key] = jax.jit(f)
         bank, atlas, state = self._build_render_state()
-        return np.asarray(_RENDER_JIT[key](
+        img = np.asarray(_RENDER_JIT[key](
             bank, atlas, state,
             jnp.asarray([self.min_x, self.max_x, self.min_z, self.max_z],
                         jnp.float32),
             jnp.float32(self.agent_radius),
         ))
+        if not return_scale:
+            return img
+        # world→pixel scale of the aspect-fit view (miniworld.py:1192-
+        # 1254): 1-unit margin, then the narrow extent is widened to
+        # match the frame-buffer aspect.
+        min_x, max_x = self.min_x - 1.0, self.max_x + 1.0
+        min_z, max_z = self.min_z - 1.0, self.max_z + 1.0
+        aspect = (max_x - min_x) / (max_z - min_z)
+        fb_aspect = w / h
+        if aspect > fb_aspect:
+            h_diff = (max_x - min_x) / fb_aspect - (max_z - min_z)
+            min_z -= h_diff / 2
+            max_z += h_diff / 2
+        elif aspect < fb_aspect:
+            w_diff = (max_z - min_z) * fb_aspect - (max_x - min_x)
+            min_x -= w_diff / 2
+            max_x += w_diff / 2
+        x_scale = w / (max_x - min_x)
+        z_scale = h / (max_z - min_z)
+        scale = {
+            "x_scale": x_scale,
+            "z_scale": z_scale,
+            "x_offset": int(0 - min_x * x_scale),
+            "z_offset": int(0 - min_z * z_scale),
+        }
+        return img, scale
 
     def set_discrete_actions(self, actions=None):
         """Install (or reset) a discrete action mapping at runtime

@@ -116,13 +116,29 @@ class ManualControl:
 
     def __init__(self, env, record_dir: str | None = None, fps: int = 30,
                  top_view: bool = False, window_scale: int = 6,
-                 show_hud: bool = True):
+                 show_hud: bool = True, show_controls: bool | None = None,
+                 mouse_sensitivity: float = MOUSE_SENSITIVITY,
+                 fullscreen: bool = False,
+                 window_size: tuple[int, int] | None = None,
+                 mouse_recenter: bool = True,
+                 automatic_recording: bool = False,
+                 task: str = "miniworld", append: bool = True):
         self.env = env
         self.fps = fps
         self.top_view = top_view
         self.show_hud = show_hud
-        self.window_scale = window_scale
-        self.recorder = Recorder(record_dir, fps=fps) if record_dir else None
+        self.show_controls_override = show_controls
+        self.mouse_sensitivity = mouse_sensitivity
+        self.fullscreen = fullscreen
+        self.window_size = window_size
+        # --no-mouse-recenter parity (scripts/manual_control.py:111-117):
+        # leave the cursor free instead of grabbing it for mouse-look
+        self.mouse_recenter = mouse_recenter
+        self.automatic_recording = automatic_recording
+        self.recorder = (
+            Recorder(record_dir, fps=fps, append=append, task=task)
+            if record_dir else None
+        )
         u = env.unwrapped if hasattr(env, "unwrapped") else env
         self.uenv = u
         self.click_env = getattr(u.spec_def, "click_action", False)
@@ -135,14 +151,29 @@ class ManualControl:
         env = self.env
         obs, info = env.reset(seed=seed)
         u = self.uenv
-        w = u.obs_width * self.window_scale
-        h = u.obs_height * self.window_scale
-        screen = pygame.display.set_mode((w, h))
+        if self.show_controls_override is not None:
+            u.show_controls = self.show_controls_override
+        if self.fullscreen:
+            # --fullscreen parity (scripts/manual_control.py:36-40)
+            screen = pygame.display.set_mode((0, 0), pygame.FULLSCREEN)
+            w, h = screen.get_size()
+        else:
+            if self.window_size is not None:
+                # --window-size WxH (scripts/manual_control.py:41-49)
+                w, h = self.window_size
+            else:
+                w = u.obs_width * self.window_scale
+                h = u.obs_height * self.window_scale
+            screen = pygame.display.set_mode((w, h))
         pygame.display.set_caption(f"miniworld-tpu: {u.spec_def.name}")
         clock = pygame.time.Clock()
         grabbed = False
         running = True
         pending_yaw = pending_pitch = 0.0
+        if self.recorder and self.automatic_recording:
+            # --automatic-recording (scripts/manual_control.py:97-101):
+            # start immediately; episodes auto-split on done
+            self.recorder.start()
 
         while running:
             for event in pygame.event.get():
@@ -188,14 +219,15 @@ class ManualControl:
                                 obs, info = env.reset()
                         continue
                     grabbed = True
-                    pygame.event.set_grab(True)
-                    pygame.mouse.set_visible(False)
+                    if self.mouse_recenter:
+                        pygame.event.set_grab(True)
+                        pygame.mouse.set_visible(False)
                 elif event.type == pygame.MOUSEMOTION and grabbed:
                     dx, dy = event.rel
                     if abs(dx) > MOUSE_DEADZONE:
-                        pending_yaw -= dx * MOUSE_SENSITIVITY
+                        pending_yaw -= dx * self.mouse_sensitivity
                     if abs(dy) > MOUSE_DEADZONE:
-                        pending_pitch -= dy * MOUSE_SENSITIVITY
+                        pending_pitch -= dy * self.mouse_sensitivity
 
             keys = pygame.key.get_pressed()
             vec = np.zeros(6, np.float32)

@@ -27,12 +27,15 @@ def render_top_view(
     height: int,
     extents,
     agent_radius: float = 0.4,
+    render_agent: bool = True,
 ):
     """Render one env's top view. Returns (H, W, 3) u8.
 
     ``extents`` is (min_x, max_x, min_z, max_z) of the floorplan; the
     view is aspect-fit with a 1-unit margin like the reference
-    (miniworld.py:1192-1212).
+    (miniworld.py:1192-1212). ``render_agent`` (static) toggles the
+    red agent triangle (miniworld.py:1171, `_render_world`'s
+    render_agent flag at miniworld.py:1147-1166).
     """
     min_x, max_x, min_z, max_z = [jnp.asarray(v, jnp.float32) for v in extents]
     min_x, max_x = min_x - 1.0, max_x + 1.0
@@ -101,24 +104,26 @@ def render_top_view(
     shaded = raycast.shade(color, normal, hit_p, state)
     rgb = jnp.where(hit[:, None], shaded, state.sky_color[None, :])
 
-    # agent marker: red triangle, nose along dir_vec, width ~ radius
-    # (entity.py:532-553 draws a triangle of half-length r)
-    r = agent_radius
-    ca, sa = jnp.cos(state.dir), jnp.sin(state.dir)
-    fwd = jnp.stack([ca, -sa])
-    right = jnp.stack([sa, ca])
-    a_xz = jnp.stack([state.pos[0], state.pos[2]])
-    p0 = a_xz + fwd * r  # nose
-    p1 = a_xz - fwd * r + right * (0.75 * r)
-    p2 = a_xz - fwd * r - right * (0.75 * r)
-    pix = jnp.stack([px, pz], axis=1)
+    if render_agent:
+        # agent marker: red triangle, nose along dir_vec, width ~ radius
+        # (entity.py:532-553 draws a triangle of half-length r)
+        r = agent_radius
+        ca, sa = jnp.cos(state.dir), jnp.sin(state.dir)
+        fwd = jnp.stack([ca, -sa])
+        right = jnp.stack([sa, ca])
+        a_xz = jnp.stack([state.pos[0], state.pos[2]])
+        p0 = a_xz + fwd * r  # nose
+        p1 = a_xz - fwd * r + right * (0.75 * r)
+        p2 = a_xz - fwd * r - right * (0.75 * r)
+        pix = jnp.stack([px, pz], axis=1)
 
-    def edge(a, b):
-        return (pix[:, 0] - a[0]) * (b[1] - a[1]) - (pix[:, 1] - a[1]) * (b[0] - a[0])
+        def edge(a, b):
+            return (pix[:, 0] - a[0]) * (b[1] - a[1]) - (pix[:, 1] - a[1]) * (b[0] - a[0])
 
-    e0, e1, e2 = edge(p0, p1), edge(p1, p2), edge(p2, p0)
-    inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
-    rgb = jnp.where(inside[:, None], jnp.array([1.0, 0.0, 0.0]), rgb)
+        e0, e1, e2 = edge(p0, p1), edge(p1, p2), edge(p2, p0)
+        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
+            (e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        rgb = jnp.where(inside[:, None], jnp.array([1.0, 0.0, 0.0]), rgb)
 
     rgb_u8 = jnp.clip(rgb * 255.0, 0.0, 255.0).astype(jnp.uint8)
     return rgb_u8.reshape(height, width, 3)

@@ -171,6 +171,62 @@ def test_scripted_control_records(tmp_path, env):
     assert info_json["total_frames"] == 6
 
 
+def test_top_view_options(env):
+    """render_top_view(render_agent=, return_scale=) parity
+    (miniworld.py:1171, 1245-1256)."""
+    env.reset(seed=0)
+    with_agent = env.render_top_view(64, 48)
+    without = env.render_top_view(64, 48, render_agent=False)
+    assert with_agent.shape == without.shape == (48, 64, 3)
+    # the red marker only exists in the render_agent view
+    red = (with_agent[..., 0] == 255) & (with_agent[..., 1] == 0)
+    red_off = (without[..., 0] == 255) & (without[..., 1] == 0)
+    assert red.any() and not red_off.any()
+    img, scale = env.render_top_view(64, 48, return_scale=True)
+    assert img.shape == (48, 64, 3)
+    assert set(scale) == {"x_scale", "z_scale", "x_offset", "z_offset"}
+    # the agent's world position maps inside the image through the scale
+    px = env.agent_pos[0] * scale["x_scale"] + scale["x_offset"]
+    pz = env.agent_pos[2] * scale["z_scale"] + scale["z_offset"]
+    assert 0 <= px < 64 and 0 <= pz < 48
+    # ...and the marker actually sits there (within the triangle size)
+    ys, xs = np.nonzero(red)
+    assert abs(xs.mean() - px) < 6 and abs(ys.mean() - pz) < 6
+
+
+def test_manual_control_cli_flags():
+    """The reference CLI surface parses (scripts/manual_control.py:16-140)
+    and the viewer accepts every flag (no display started)."""
+    import importlib.util
+    import os
+    import sys
+    from unittest import mock
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "manual_control.py")
+    spec = importlib.util.spec_from_file_location("mc_cli", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = ["prog", "--env-name", "MiniWorld-OneRoomS6Fast-v0",
+            "--no-time-limit", "--mouse-sensitivity", "0.2",
+            "--fullscreen", "--window-size", "640x480", "--hide-hud",
+            "--no-show-controls", "--task", "t", "--append",
+            "--automatic-recording", "--no-mouse-recenter",
+            "--obs-width", "32", "--obs-height", "24", "--seed", "3"]
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("miniworld_tpu.manual_control.ManualControl") as mc:
+        mod.main()
+    (env_arg,), kw = mc.call_args
+    assert env_arg.max_episode_steps == 10**9          # --no-time-limit
+    assert kw["mouse_sensitivity"] == 0.2
+    assert kw["fullscreen"] and kw["window_size"] == (640, 480)
+    assert kw["show_hud"] is False and kw["show_controls"] is False
+    assert kw["mouse_recenter"] is False
+    assert kw["automatic_recording"] and kw["append"]
+    assert kw["task"] == "t"
+    mc.return_value.run.assert_called_once_with(seed=3)
+
+
 ENV_CHECK_IDS = ["OneRoomS6Fast", "Hallway", "PutNext", "Sign", "CameraControlClick"]
 
 
