@@ -45,6 +45,13 @@ def main():
                    help="iterations between metric fetches (each fetch "
                         "syncs the device pipeline; keep sparse on "
                         "high-latency tunnels)")
+    p.add_argument("--refresh-layouts-every", type=int, default=0,
+                   help="swap in a freshly generated layout bank every "
+                        "N iterations (procedural envs: the training "
+                        "distribution becomes unbounded like the "
+                        "reference's per-reset generation). Banks are "
+                        "prepared in a background thread and the swap "
+                        "is recompile-free (shape-stable).")
     args = p.parse_args()
     obs_w, obs_h = map(int, args.obs.split("x"))
 
@@ -115,11 +122,28 @@ def main():
         pending.clear()
         last_t, last_steps = now, steps_done
 
+    refresh_fut = None
+    pool = None
+    if args.refresh_layouts_every:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(1)
+        refresh_fut = pool.submit(env.prepare_bank, args.seed + 1000)
+
     for it in range(args.iters):
         key, k = jax.random.split(key)
         tstate, state, obs, depth, metrics = step(tstate, state, obs, depth, k)
         steps_done += args.horizon * num_envs
         pending.append((it, metrics))
+        if (args.refresh_layouts_every
+                and it % args.refresh_layouts_every
+                == args.refresh_layouts_every - 1):
+            # the bank was compiled off-thread; the swap is just new
+            # jit arguments (env auto-resets migrate episodes onto the
+            # new layouts as they end)
+            env.install_bank(refresh_fut.result())
+            refresh_fut = pool.submit(env.prepare_bank,
+                                      args.seed + 1000 + it + 1)
         if it % args.log_every == args.log_every - 1 or it == args.iters - 1:
             drain(time.perf_counter())
         if args.checkpoint and it and it % 50 == 0:
@@ -128,6 +152,8 @@ def main():
             checkpoint.save(f"{args.checkpoint}/it{it:06d}",
                             {"train_state": tstate, "env_state": state})
             print(f"checkpointed at iter {it}")
+    if pool:
+        pool.shutdown(wait=False, cancel_futures=True)
     if metrics_f:
         metrics_f.close()
 

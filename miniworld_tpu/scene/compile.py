@@ -288,9 +288,17 @@ def natural_sizes(layouts, align: int = 8) -> dict:
     return out
 
 
-def stack_layouts(layouts, align: int = 8):
-    """Pad to common sizes and stack into a bank (leading L axis)."""
+def stack_layouts(layouts, align: int = 8, min_sizes: dict | None = None):
+    """Pad to common sizes and stack into a bank (leading L axis).
+
+    ``min_sizes`` raises the per-axis floors — bank refreshes
+    (MiniWorldVec.refresh_layouts) pass the previous bank's sizes so a
+    regenerated bank keeps identical array shapes (and the compiled
+    programs stay cached)."""
     sizes = natural_sizes(layouts, align)
+    if min_sizes:
+        for k, v in min_sizes.items():
+            sizes[k] = max(sizes[k], v)
     padded = [lay.pad_to(sizes) for lay in layouts]
     out = {}
     for f in fields(Layout):

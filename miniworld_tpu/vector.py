@@ -53,12 +53,17 @@ _hash01 = hash01  # texture-variant draw hash; lives with its consumer
 
 
 def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
-               fourier_k: int | None = None):
+               fourier_k: int | None = None,
+               min_sizes: dict | None = None):
     """Compile the spec's layout bank + texture tables (host side).
 
     ``fourier_k=None`` resolves to the spec's ``fourier_k`` (glyph envs
     raise it for legibility) or the global FOURIER_TERMS default.
+    ``min_sizes`` floors the bank's padded axis sizes (refresh path;
+    see stack_layouts). Returns (bank, tex table, sizes dict).
     """
+    from miniworld_tpu.scene.compile import natural_sizes
+
     if fourier_k is None:
         fourier_k = getattr(spec, "fourier_k", 0) or FOURIER_TERMS
     catalog = TextureCatalog()
@@ -70,12 +75,15 @@ def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
         spec.build(world, None, layout_rng=np.random.default_rng(seeds[li]),
                    layout_idx=li)
         layouts.append(compile_world(world, with_pvs=True))
-    bank_np = stack_layouts(layouts)
+    bank_np = stack_layouts(layouts, min_sizes=min_sizes)
+    sizes = natural_sizes(layouts)
+    if min_sizes:
+        sizes = {k: max(v, min_sizes.get(k, 0)) for k, v in sizes.items()}
     if tex_mode == "fourier":
         tex_np = catalog.build_fourier(fourier_k)
     else:
         tex_np = catalog.build_atlas()
-    return bank_np, tex_np
+    return bank_np, tex_np, sizes
 
 
 def _to_device(bank_np: Layout) -> Layout:
@@ -187,7 +195,8 @@ def plan_culling(bank_np: Layout, chunk_cap: int):
 
 
 def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
-                    max_bytes: int = 768 << 20):
+                    max_bytes: int = 768 << 20,
+                    force_k: int | None = None):
     """Plan packed per-room PVS banks (the space-time alternative to
     chunk_vis culling).
 
@@ -212,8 +221,11 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
         return None, chunk_cap, None, np.inf
 
     L, S = bank_np.tri_room.shape
-    candidates = [k for k in (32, 48, 64, 96, 128, 160, 192, 224, 256)
-                  if k <= min(chunk_cap, S)] or [min(chunk_cap, S)]
+    if force_k is not None:  # refresh path: reuse the planned chunk
+        candidates = [force_k]
+    else:
+        candidates = [k for k in (32, 48, 64, 96, 128, 160, 192, 224, 256)
+                      if k <= min(chunk_cap, S)] or [min(chunk_cap, S)]
 
     # Per-layout room triangle index lists + per-room visible sets
     # (shared across chunk-size candidates).
@@ -415,48 +427,121 @@ class MiniWorldVec:
             render_backend = "xla"
         assert render_backend in ("pallas", "xla"), render_backend
         self.render_backend = render_backend
-        bank_np, tex_np = build_bank(spec, bank_seed, tex_mode, fourier_k)
-        # PVS chunk culling (scene/pvs.py): per-env scans visit only the
-        # chunks visible from the camera's room, with a static worst-case
-        # schedule length. Exact — culled renders are pixel-identical.
-        self._pvs_packed = False
-        _, chunks_k, chunks_bound = plan_culling(bank_np, self.tri_chunk)
-        chunks_cost = (
-            chunks_bound * (chunks_k + _CHUNK_OVERHEAD_TRIS)
-            if chunks_bound is not None
-            else (-(-bank_np.tri_mask.shape[1] // chunks_k))
-            * (chunks_k + _CHUNK_OVERHEAD_TRIS)
+        bank_np, tex_np, self._bank_sizes = build_bank(
+            spec, bank_seed, tex_mode, fourier_k
         )
-        packed, packed_k, packed_sched, packed_cost = (
-            plan_packed_pvs(bank_np, self.tri_chunk)
-        )
-        if packed is not None and packed_cost < chunks_cost:
-            # packed per-room PVS mode: duplicated contiguous
-            # visible sets; schedule = room_base + arange
-            import dataclasses as _dc
+        self._install_bank(bank_np, tex_np, fresh=True)
 
-            self.tri_chunk = packed_k
-            bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
-            bank_np = _dc.replace(bank_np, **packed)
-            self._pvs_packed = True
-            self._sched_len = packed_sched
+        if spec.discrete_actions is not None:
+            self._action_table = jnp.asarray(spec.discrete_actions)
         else:
-            self.tri_chunk = chunks_k
-            # never pad the bank BEYOND its natural triangle count (a
-            # 112-chunk on Hallway's 56 triangles would double the scan)
-            self.tri_chunk = min(self.tri_chunk, bank_np.tri_mask.shape[1])
-            # align chunks (and the per-tri state row view) to the bank
+            self._action_table = None
+
+        self._make_jits()
+
+    def _install_bank(self, bank_np: Layout, tex_np, fresh: bool):
+        """Plan culling, pack, and install a compiled layout bank.
+
+        ``fresh=True`` (construction) picks the cheaper culling mode by
+        modeled cost. ``fresh=False`` (refresh_layouts) re-runs the
+        SAME decisions with the same chunk size and pads the new bank
+        to at least the previous shapes, so the swapped-in arrays reuse
+        every compiled program (bank/atlas are jit arguments).
+        """
+        import dataclasses as _dc
+
+        tex_mode, domain_rand = self.tex_mode, self.domain_rand
+        statics_changed = False
+        if fresh:
+            # PVS chunk culling (scene/pvs.py): per-env scans visit only
+            # the chunks visible from the camera's room, with a static
+            # worst-case schedule length. Exact — culled renders are
+            # pixel-identical.
+            self._pvs_packed = False
+            _, chunks_k, chunks_bound = plan_culling(bank_np, self.tri_chunk)
+            chunks_cost = (
+                chunks_bound * (chunks_k + _CHUNK_OVERHEAD_TRIS)
+                if chunks_bound is not None
+                else (-(-bank_np.tri_mask.shape[1] // chunks_k))
+                * (chunks_k + _CHUNK_OVERHEAD_TRIS)
+            )
+            packed, packed_k, packed_sched, packed_cost = (
+                plan_packed_pvs(bank_np, self.tri_chunk)
+            )
+            if packed is not None and packed_cost < chunks_cost:
+                # packed per-room PVS mode: duplicated contiguous
+                # visible sets; schedule = room_base + arange
+                self.tri_chunk = packed_k
+                bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
+                bank_np = _dc.replace(bank_np, **packed)
+                self._pvs_packed = True
+                self._sched_len = packed_sched
+            else:
+                self.tri_chunk = chunks_k
+                # never pad the bank BEYOND its natural triangle count (a
+                # 112-chunk on Hallway's 56 triangles would double the scan)
+                self.tri_chunk = min(self.tri_chunk, bank_np.tri_mask.shape[1])
+                # align chunks (and the per-tri state row view) to the bank
+                bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
+                chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
+                n_chunks = chunk_vis.shape[1]
+                bound = 1
+                for li in range(chunk_vis.shape[0]):
+                    counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
+                    if counts.size:
+                        bound = max(bound, int(counts.max()))
+                if bound < n_chunks:
+                    self._chunk_vis = jnp.asarray(chunk_vis)
+                    self._sched_len = bound
+        elif self._pvs_packed:
+            # refresh: same chunk size; pad region banks to the previous
+            # packed size so shapes (and compiled programs) are reused.
+            # A schedule slot past a room's region reads the next
+            # region's real triangles — harmless under the z-buffer —
+            # so a shorter new worst case keeps the old sched_len.
+            packed, _, packed_sched, _ = plan_packed_pvs(
+                bank_np, self.tri_chunk, force_k=self.tri_chunk
+            )
+            assert packed is not None, "refresh lost the packed-PVS plan"
             bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
-            chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
-            n_chunks = chunk_vis.shape[1]
-            bound = 1
-            for li in range(chunk_vis.shape[0]):
-                counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
-                if counts.size:
-                    bound = max(bound, int(counts.max()))
-            if bound < n_chunks:
+            prev_s2 = self._bank_np.pvs_attr.shape[1]
+            new_s2 = packed["pvs_attr"].shape[1]
+            if new_s2 < prev_s2:
+                pad = prev_s2 - new_s2
+
+                def p(arr, axis, fill):
+                    widths = [(0, 0)] * arr.ndim
+                    widths[axis] = (0, pad)
+                    return np.pad(arr, widths, constant_values=fill)
+
+                packed = dict(
+                    packed,
+                    pvs_verts9=p(packed["pvs_verts9"], 2, 0.0),
+                    pvs_attr=p(packed["pvs_attr"], 1, 0.0),
+                    pvs_tri_tex=p(packed["pvs_tri_tex"], 1, -1),
+                    pvs_tri_tex_base=p(packed["pvs_tri_tex_base"], 1, -1.0),
+                    pvs_tri_tex_count=p(packed["pvs_tri_tex_count"], 1, 1.0),
+                )
+            bank_np = _dc.replace(bank_np, **packed)
+            if packed_sched > self._sched_len:
+                # worst-case schedule grew: sched_len is baked into the
+                # jitted programs as a static, so they must retrace
+                self._sched_len = packed_sched
+                statics_changed = True
+        else:
+            bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
+            if self._chunk_vis is not None:
+                chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
+                bound = 1
+                for li in range(chunk_vis.shape[0]):
+                    counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
+                    if counts.size:
+                        bound = max(bound, int(counts.max()))
                 self._chunk_vis = jnp.asarray(chunk_vis)
-                self._sched_len = bound
+                self._sched_len = max(self._sched_len, bound)
+                # chunk_vis is a trace-time closure constant, not a jit
+                # argument — the compiled programs must be rebuilt
+                statics_changed = True
         if tex_mode == "fourier" and not domain_rand:
             # Without domain_rand every slot renders variant 0, so the
             # per-tri atlas index is static: bake it into the attr slot
@@ -474,13 +559,11 @@ class MiniWorldVec:
                 pa[:, :, 14] = bank_np.pvs_tri_tex_base
                 repl["pvs_attr"] = pa
             bank_np = _dc.replace(bank_np, **repl)
-        if render_backend == "pallas":
+        if self.render_backend == "pallas":
             # the kernel reads the baked atlas index from the attr slot
             # column and intersects sphere/box entities analytically —
             # gate the modes it cannot reproduce (see pallas_kernel2
             # docstring)
-            import dataclasses as _dc
-
             from miniworld_tpu.render.pallas_kernel2 import (
                 pack_chunk_aabbs, pack_tri_bank,
             )
@@ -511,11 +594,12 @@ class MiniWorldVec:
                 bank_np, pallas_pack=pack,
                 pallas_chunk_aabb=pack_chunk_aabbs(pack, self.tri_chunk),
             )
-            # A/B toggles for the kernel's dynamic work skipping
-            # (flip BEFORE the first render — the jitted program
-            # bakes them in as statics)
-            self._pallas_tile_skip = True
-            self._pallas_occlusion_skip = True
+            if fresh:
+                # A/B toggles for the kernel's dynamic work skipping
+                # (flip BEFORE the first render — the jitted program
+                # bakes them in as statics)
+                self._pallas_tile_skip = True
+                self._pallas_occlusion_skip = True
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
@@ -542,18 +626,16 @@ class MiniWorldVec:
             bool(((shp == SHAPE_BOX) | (shp == SHAPE_MESH_BOX)).any()),
             bool((shp == SHAPE_MESH_TRIS).any()),
         )
-        if render_backend == "pallas":
+        if self.render_backend == "pallas":
             if self.supersample != 1:
                 raise ValueError(
                     "render_backend='pallas' does not implement the "
                     "2x2 supersampling flag; use the XLA backend"
                 )
+        if not fresh and statics_changed:
+            self._make_jits()
 
-        if spec.discrete_actions is not None:
-            self._action_table = jnp.asarray(spec.discrete_actions)
-        else:
-            self._action_table = None
-
+    def _make_jits(self):
         # bank/atlas are jit ARGUMENTS (not closures) so they never
         # become embedded XLA constants.
         self._reset_jit = jax.jit(
@@ -563,6 +645,52 @@ class MiniWorldVec:
             jax.vmap(self._step_one, in_axes=(None, 0, 0))
         )
         self._render_jit = jax.jit(self._render_batch)
+        self._rollout_cache = {}
+
+    # -- layout-bank refresh ------------------------------------------------
+
+    def prepare_bank(self, bank_seed: int):
+        """Host-side compile of a fresh layout bank (thread-safe, no
+        device work) — run it in a background thread and hand the
+        result to install_bank to swap banks without stalling rollouts.
+        """
+        bank_np, tex_np, _ = build_bank(
+            self.spec, bank_seed, self.tex_mode, self.fourier_k,
+            min_sizes=self._bank_sizes,
+        )
+        return bank_np, tex_np
+
+    def install_bank(self, prepared):
+        """Swap in a bank from prepare_bank (main thread; touches jit
+        state)."""
+        bank_np, tex_np = prepared
+        assert tex_np.shape == tuple(np.asarray(self._atlas).shape), (
+            "refreshed texture table changed shape — the spec's texture "
+            "set must be layout-independent for bank refreshes"
+        )
+        self._install_bank(bank_np, tex_np, fresh=False)
+
+    def refresh_layouts(self, bank_seed: int):
+        """Regenerate the procedural layout bank with fresh seeds.
+
+        The reference builds a fresh world every reset
+        (miniworld/miniworld.py:558-618; Maze generates a new
+        recursive-backtracker maze per episode, maze.py:100-149). The
+        vectorized path draws layouts from a compiled bank instead —
+        calling this between rollouts makes the training distribution
+        unbounded over time: each refresh swaps in ``num_layouts`` new
+        layouts built from ``SeedSequence(bank_seed)``.
+
+        The new bank is padded to the previous bank's shapes and reuses
+        its culling plan (same chunk size/schedule), so when shapes are
+        stable — they are for Maze, whose triangle/segment counts are
+        layout-independent — no recompilation happens: the bank is just
+        a new jit argument. In-flight episodes keep their layout_id but
+        see the NEW layout's geometry, so refresh at episode/rollout
+        boundaries (auto-reset makes mid-episode swaps safe, just
+        discontinuous).
+        """
+        self.install_bank(self.prepare_bank(bank_seed))
 
     # -- param sampling ----------------------------------------------------
 
