@@ -632,7 +632,9 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
         from miniworld_tpu.render.visibility import visible_ents
 
         bank, atlas, state = self._build_render_state()
-        mask = np.asarray(visible_ents(bank, state))
+        mask = np.asarray(visible_ents(
+            bank, state, width=self.obs_width, height=self.obs_height,
+        ))
         return {e for e, v in zip(self.entities, mask) if v}
 
     def render(self):

@@ -1,17 +1,25 @@
 """Entity visibility query (get_visible_ents parity).
 
 The reference answers "which entities are visible from the camera"
-with GL occlusion queries: it re-renders a small box at each entity's
-position and asks the GPU whether any sample passed the depth test
-(miniworld/miniworld.py:1576-1670). The TPU-native equivalent casts a
-small bundle of probe rays from the camera at each entity's bounding
-volume and tests them against the static triangle soup: an entity is
-visible iff some probe ray (a) lies inside the view frustum and (b) is
-not occluded by static geometry closer than the entity.
+with GL occlusion queries: it renders the ROOMS ONLY (untextured —
+walls/floors/ceilings, no entities) into the obs framebuffer's depth
+buffer, then draws a small 0.2 m axis-aligned box at each entity's
+base position inside a GL_ANY_SAMPLES_PASSED query
+(miniworld/miniworld.py:1576-1670, box extents 1640-1647: pos +- 0.1
+in x/z, [y, y+0.2]). An entity is "visible" iff any sample of that
+box passes the depth test.
 
-Dynamic entities occluding each other are ignored — matching the
-reference, whose occlusion pass renders the *static* scene into the
-depth buffer before issuing the queries.
+The TPU-native equivalent reproduces the query per pixel: one
+PVS-culled triangle pass over the room geometry gives the static
+depth map, then each entity's query box is intersected analytically
+against the same pixel rays — visible iff some pixel hits the box
+closer than the static depth. Semantics match GL exactly, including
+the quirks the query box implies: a mostly-occluded entity whose base
+box is hidden answers invisible even if its top is on screen, and the
+box can make a barely-hidden entity answer visible (both directions
+oracle-tested against the raycaster in tests/test_visibility.py).
+Sample resolution is 1 spp vs GL's 8x MSAA (a sub-pixel sliver of the
+box can land between pixel centers).
 """
 
 from __future__ import annotations
@@ -20,18 +28,19 @@ import jax
 import jax.numpy as jnp
 
 from miniworld_tpu.ops import geom
-from miniworld_tpu.render.raycast import FAR, NEAR
+from miniworld_tpu.render.raycast import FAR, NEAR, camera_rays
 
-# probe offsets as fractions of (radius, height): center + 4 corners
-_PROBE_OFFS = [
-    (0.0, 0.5),
-    (-0.8, 0.1), (0.8, 0.1),
-    (-0.8, 0.9), (0.8, 0.9),
-]
+# Query box half-extent / height (miniworld/miniworld.py:1640-1647).
+BOX_R = 0.1
+BOX_H = 0.2
 
 
-def _static_hit_t(bank, layout_id, origin, dirs, tri_chunk: int = 128):
-    """Nearest static-triangle hit distance per probe ray (N,)."""
+def _room_depth(bank, layout_id, origin, dirs, tri_chunk: int = 128):
+    """Nearest ROOM-triangle hit per ray (HW,) — the depth buffer the
+    occlusion queries test against (rooms only: the reference's query
+    pass renders `room._render()` and nothing else,
+    miniworld/miniworld.py:1627-1629; front faces only, GL_CULL_FACE).
+    """
     num_tris = bank.tri_verts.shape[-3]
     tri_chunk = min(tri_chunk, num_tris)
     n_chunks = -(-num_tris // tri_chunk)
@@ -43,6 +52,8 @@ def _static_hit_t(bank, layout_id, origin, dirs, tri_chunk: int = 128):
         )[0]
         mask = jax.lax.dynamic_slice(
             bank.tri_mask, (layout_id, start), (1, tri_chunk)
+        )[0] & jax.lax.dynamic_slice(
+            bank.tri_is_room, (layout_id, start), (1, tri_chunk)
         )[0]
         v0 = verts[:, 0]
         e1 = verts[:, 1] - v0
@@ -55,15 +66,13 @@ def _static_hit_t(bank, layout_id, origin, dirs, tri_chunk: int = 128):
         det = dirs @ g_det.T
         u_num = dirs @ g_u.T
         v_num = dirs @ g_v.T
-        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
         t = t_num[None, :] * inv_det
-        # both faces occlude (GL depth buffer keeps front-facing only,
-        # but probes never start inside walls, so this only tightens)
         hit = (
-            (jnp.abs(det) > 1e-12)
-            & (u_num * jnp.sign(det) >= 0.0)
-            & (v_num * jnp.sign(det) >= 0.0)
-            & ((u_num + v_num) * jnp.sign(det) <= jnp.abs(det))
+            (det > 1e-12)
+            & (u_num >= 0.0)
+            & (v_num >= 0.0)
+            & (u_num + v_num <= det)
             & (t > NEAR) & (t < FAR)
             & mask[None, :]
         )
@@ -75,47 +84,34 @@ def _static_hit_t(bank, layout_id, origin, dirs, tri_chunk: int = 128):
     return t_best
 
 
-def visible_ents(bank, state) -> jax.Array:
+def visible_ents(bank, state, width: int = 80, height: int = 60) -> jax.Array:
     """(E,) bool: entity visible from the agent camera.
 
-    Mirrors get_visible_ents semantics: an alive entity is visible when
-    a probe point on its bounding volume is inside the view frustum and
-    unoccluded by static geometry.
+    Per-pixel transcription of the GL occlusion query: the 0.2 m query
+    box at each alive entity's base position passes iff some pixel ray
+    enters it in front of the room depth buffer. Rays/perspective match
+    render_obs (same fov/near/far); an entity behind the camera or
+    outside the frustum has no pixel ray hitting its box, exactly like
+    GL clipping.
     """
     origin = geom.cam_position(
         state.pos, state.dir, state.cam_height, state.cam_fwd_disp
     )
-    fwd, up, right = geom.cam_basis(state.dir, state.cam_pitch)
-    tan_y = jnp.tan(jnp.deg2rad(state.cam_fov_y) * 0.5)
-    # frustum slightly widened like the reference's box overdraw
-    tan_x = tan_y * (4.0 / 3.0)
+    dirs = camera_rays(state, width, height)  # (HW, 3)
+    d_static = _room_depth(bank, state.layout_id, origin, dirs)  # (HW,)
 
-    num_e = state.ent_pos.shape[0]
-    probes = []
-    for off_r, off_h in _PROBE_OFFS:
-        p = state.ent_pos.copy()
-        p = p + off_r * state.ent_radius[:, None] * geom.yaw_right_vec(
-            jnp.full((num_e,), state.dir)
-        )
-        p = p.at[:, 1].add(off_h * state.ent_height)
-        probes.append(p)
-    pts = jnp.concatenate(probes, axis=0)  # (P*E, 3)
+    safe_d = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)  # (HW, 3)
 
-    vec = pts - origin[None, :]
-    dist = jnp.linalg.norm(vec, axis=1)
-    # camera-space components
-    z = vec @ fwd
-    x = vec @ right
-    y = vec @ up
-    in_frustum = (
-        (z > NEAR)
-        & (jnp.abs(x) <= z * tan_x + 1e-6)
-        & (jnp.abs(y) <= z * tan_y + 1e-6)
-    )
+    def one(pos, alive):
+        lo = pos + jnp.asarray([-BOX_R, 0.0, -BOX_R], jnp.float32)
+        hi = pos + jnp.asarray([BOX_R, BOX_H, BOX_R], jnp.float32)
+        t1 = (lo[None, :] - origin[None, :]) / safe_d
+        t2 = (hi[None, :] - origin[None, :]) / safe_d
+        t_in = jnp.max(jnp.minimum(t1, t2), axis=1)
+        t_out = jnp.min(jnp.maximum(t1, t2), axis=1)
+        # GL renders the box's front faces depth-tested with GL_LESS;
+        # from inside the box the faces are back-facing (culled)
+        hit = (t_in <= t_out) & (t_in > NEAR) & (t_in < FAR)
+        return alive & jnp.any(hit & (t_in < d_static))
 
-    t_static = _static_hit_t(bank, state.layout_id, origin, vec)
-    # unoccluded when the nearest wall along the probe is farther than
-    # the probe point (vec has unit parameter length at the point)
-    unoccluded = t_static > 1.0 - 1e-4
-    vis = (in_frustum & unoccluded).reshape(len(_PROBE_OFFS), num_e)
-    return jnp.any(vis, axis=0) & state.ent_alive
+    return jax.vmap(one)(state.ent_pos, state.ent_alive)

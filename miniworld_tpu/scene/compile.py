@@ -129,6 +129,10 @@ class Layout:
     tri_color: np.ndarray  # (S,3) f32
     tri_mask: np.ndarray  # (S,) bool
     tri_room: np.ndarray  # (S,) i32 owning room; -1 = always visible, -2 = pad
+    # room-geometry flag (walls/floors/ceilings vs baked static
+    # entities): the get_visible_ents occlusion pass depth-tests
+    # against ROOMS ONLY (miniworld/miniworld.py:1627-1629)
+    tri_is_room: np.ndarray  # (S,) bool
     room_pvs: np.ndarray  # (R,R) bool potentially-visible rooms (scene/pvs.py)
     # collision
     segs: np.ndarray  # (W,2,2) f32 XZ endpoints
@@ -186,14 +190,6 @@ class Layout:
     pvs_tri_tex_count: np.ndarray | None = None  # (L,S2) f32
     pvs_room_base: np.ndarray | None = None  # (L,R) i32 chunk base per room
     pvs_room_nchunks: np.ndarray | None = None  # (L,R) i32 chunks per room's set
-    # (L, S_pad, 32) kernel-layout triangle pack (verts9 | attrs),
-    # built by MiniWorldVec when render_backend == "pallas"
-    # (render/pallas_kernel2.pack_tri_bank); None otherwise.
-    pallas_pack: np.ndarray | None = None
-    # (L, C, 6) per-chunk [min_xyz | max_xyz] AABBs of the pack above,
-    # for per-env frustum culling of schedule slots (empty chunks hold
-    # +inf/-inf and always cull); None unless the pallas backend is on.
-    pallas_chunk_aabb: np.ndarray | None = None
 
     def pad_to(self, sizes: dict) -> "Layout":
         """Pad all leading dims to the given sizes (keys: S,W,R,V,P,E,C,T)."""
@@ -211,6 +207,7 @@ class Layout:
             tri_color=_pad(self.tri_color, s["S"]),
             tri_mask=_pad(self.tri_mask, s["S"], fill=False),
             tri_room=_pad(self.tri_room, s["S"], fill=-2),
+            tri_is_room=_pad(self.tri_is_room, s["S"], fill=False),
             room_pvs=_pad(_pad(self.room_pvs, s["R"], axis=1, fill=False), s["R"], fill=False),
             segs=_pad(self.segs, s["W"]),
             seg_mask=_pad(self.seg_mask, s["W"], fill=False),
@@ -408,6 +405,7 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
         ]
     )
     assert tri_room.shape[0] == S
+    tri_is_room = np.arange(S) < int(np.sum(room_counts))
     order = _room_block_order(world.rooms)
     rank = np.empty(len(world.rooms) + 1, dtype=np.int64)
     rank[0] = 0  # always-visible block first (index shifted by +1)
@@ -416,6 +414,7 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
     perm = np.argsort(rank[tri_room + 1], kind="stable")
     tri_verts, tri_uv, tri_normal = tri_verts[perm], tri_uv[perm], tri_normal[perm]
     tri_tex, tri_color, tri_room = tri_tex[perm], tri_color[perm], tri_room[perm]
+    tri_is_room = tri_is_room[perm]
 
     if with_pvs:
         from miniworld_tpu.scene.pvs import compute_room_pvs
@@ -588,7 +587,7 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
         tri_tex=tri_tex, tri_tex_base=tri_tex_base,
         tri_tex_count=tri_tex_count,
         tri_color=tri_color, tri_mask=tri_mask,
-        tri_room=tri_room, room_pvs=room_pvs,
+        tri_room=tri_room, tri_is_room=tri_is_room, room_pvs=room_pvs,
         segs=segs, seg_mask=seg_mask, room_segs=room_segs,
         room_outline=room_outline, room_norms=room_norms,
         room_vmask=room_vmask, room_mask=room_mask,

@@ -41,7 +41,7 @@ from miniworld_tpu.state import EnvState, StepResult, tree_select
 _TRI_FIELDS = (
     "tri_verts", "tri_verts9", "tri_attr", "tri_uv", "tri_normal", "tri_tex",
     "tri_tex_base", "tri_tex_count", "tri_color", "tri_mask",
-    "tri_room", "room_pvs",
+    "tri_room", "tri_is_room", "room_pvs",
     # collision arrays are never gathered per env: physics/placement
     # slice room-local (4, NS) packs from the bank instead (the full
     # per-env (W, 2, 2) gather forced 13 ms/step layout copies on maze)
@@ -158,6 +158,7 @@ def _repad_for_chunks(bank_np: Layout, chunk: int) -> Layout:
         tri_color=p(bank_np.tri_color, 1, 0.0),
         tri_mask=p(bank_np.tri_mask, 1, False),
         tri_room=p(bank_np.tri_room, 1, -2),
+        tri_is_room=p(bank_np.tri_is_room, 1, False),
     )
 
 
@@ -341,8 +342,7 @@ def lay_view(bank: Layout, layout_id) -> Layout:
         arr = getattr(bank, f.name)
         if arr is None:  # optional packed-PVS fields
             out[f.name] = None
-        elif (f.name in _TRI_FIELDS or f.name.startswith("pvs_")
-              or f.name.startswith("pallas_")):
+        elif f.name in _TRI_FIELDS or f.name.startswith("pvs_"):
             out[f.name] = arr[0, :0]
         else:
             out[f.name] = arr[layout_id]
@@ -416,16 +416,18 @@ class MiniWorldVec:
         if fourier_k is None:  # spec override, else global default
             fourier_k = getattr(spec, "fourier_k", 0) or FOURIER_TERMS
         self.fourier_k = fourier_k
-        # The XLA raycaster is the default everywhere; the fused Pallas
-        # kernel (render/pallas_kernel2.py, opt-in via
-        # render_backend="pallas") was reworked in round 2 to consume
-        # the SAME per-env chunk schedules as the XLA path (its round-1
-        # whole-bank form lost 105-144ms vs 60ms at B=1024 largely to
-        # padding waste and missing culling) and keeps the z/attr carry
-        # in VMEM scratch instead of streaming it through HBM.
+        # The XLA raycaster is the only backend: two generations of
+        # fused Pallas kernels lost to it on every BASELINE config and
+        # were retired on measurement (PERF.md "Pallas kernels:
+        # retired"). The flag is kept for call-site compatibility.
         if render_backend == "auto":
             render_backend = "xla"
-        assert render_backend in ("pallas", "xla"), render_backend
+        if render_backend != "xla":
+            raise ValueError(
+                f"render_backend={render_backend!r}: the Pallas kernel "
+                "was retired after losing to the XLA raycaster on every "
+                "measured config (PERF.md); only 'xla'/'auto' remain"
+            )
         self.render_backend = render_backend
         bank_np, tex_np, self._bank_sizes = build_bank(
             spec, bank_seed, tex_mode, fourier_k
@@ -559,47 +561,6 @@ class MiniWorldVec:
                 pa[:, :, 14] = bank_np.pvs_tri_tex_base
                 repl["pvs_attr"] = pa
             bank_np = _dc.replace(bank_np, **repl)
-        if self.render_backend == "pallas":
-            # the kernel reads the baked atlas index from the attr slot
-            # column and intersects sphere/box entities analytically —
-            # gate the modes it cannot reproduce (see pallas_kernel2
-            # docstring)
-            from miniworld_tpu.render.pallas_kernel2 import (
-                pack_chunk_aabbs, pack_tri_bank,
-            )
-
-            if tex_mode != "fourier":
-                raise ValueError(
-                    "render_backend='pallas' requires tex_mode='fourier'"
-                )
-            assert self.tri_chunk % 8 == 0, (
-                f"pallas tri_chunk must be sublane-aligned, got "
-                f"{self.tri_chunk}"
-            )
-            if self._pvs_packed:
-                tex = (bank_np.pvs_tri_tex, bank_np.pvs_tri_tex_base,
-                       bank_np.pvs_tri_tex_count) if domain_rand else None
-                pack = pack_tri_bank(
-                    bank_np.pvs_verts9, bank_np.pvs_attr, self.tri_chunk,
-                    tex=tex,
-                )
-            else:
-                tex = (bank_np.tri_tex, bank_np.tri_tex_base,
-                       bank_np.tri_tex_count) if domain_rand else None
-                pack = pack_tri_bank(
-                    bank_np.tri_verts9, bank_np.tri_attr, self.tri_chunk,
-                    tex=tex,
-                )
-            bank_np = _dc.replace(
-                bank_np, pallas_pack=pack,
-                pallas_chunk_aabb=pack_chunk_aabbs(pack, self.tri_chunk),
-            )
-            if fresh:
-                # A/B toggles for the kernel's dynamic work skipping
-                # (flip BEFORE the first render — the jitted program
-                # bakes them in as statics)
-                self._pallas_tile_skip = True
-                self._pallas_occlusion_skip = True
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
@@ -626,12 +587,6 @@ class MiniWorldVec:
             bool(((shp == SHAPE_BOX) | (shp == SHAPE_MESH_BOX)).any()),
             bool((shp == SHAPE_MESH_TRIS).any()),
         )
-        if self.render_backend == "pallas":
-            if self.supersample != 1:
-                raise ValueError(
-                    "render_backend='pallas' does not implement the "
-                    "2x2 supersampling flag; use the XLA backend"
-                )
         if not fresh and statics_changed:
             self._make_jits()
 
@@ -961,231 +916,37 @@ class MiniWorldVec:
         return obs, None
 
     def _render_batch(self, bank: Layout, atlas, state: EnvState):
-        """Batched observation render (Pallas kernel or vmapped XLA)."""
-        if self.render_backend != "pallas":
-            mb = self.render_microbatch
-            if mb > 1:
-                def sub(s):
-                    return jax.vmap(self._obs_one, in_axes=(None, None, 0))(
-                        bank, atlas, s
-                    )
+        """Batched observation render (vmapped XLA raycaster)."""
+        mb = self.render_microbatch
+        if mb > 1:
+            def sub(s):
+                return jax.vmap(self._obs_one, in_axes=(None, None, 0))(
+                    bank, atlas, s
+                )
 
-                parts = jax.tree.map(
-                    lambda x: x.reshape(mb, x.shape[0] // mb, *x.shape[1:]),
-                    state,
-                )
-                obs, depth = jax.lax.map(sub, parts)
-                merge = lambda x: x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
-                return jax.tree.map(merge, obs), (
-                    jax.tree.map(merge, depth) if depth is not None else None
-                )
-            return jax.vmap(self._obs_one, in_axes=(None, None, 0))(
-                bank, atlas, state
+            parts = jax.tree.map(
+                lambda x: x.reshape(mb, x.shape[0] // mb, *x.shape[1:]),
+                state,
             )
-        from miniworld_tpu.ops import geom
-        from miniworld_tpu.render.pallas_kernel2 import render_batch_pallas
-        from miniworld_tpu.render.raycast import (
-            entity_mesh_rows, room_of_point,
+            obs, depth = jax.lax.map(sub, parts)
+            merge = lambda x: x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+            return jax.tree.map(merge, obs), (
+                jax.tree.map(merge, depth) if depth is not None else None
+            )
+        return jax.vmap(self._obs_one, in_axes=(None, None, 0))(
+            bank, atlas, state
         )
-
-        def pack_one(s):
-            fwd, up, right = geom.cam_basis(s.dir, s.cam_pitch)
-            origin = geom.cam_position(
-                s.pos, s.dir, s.cam_height, s.cam_fwd_disp
-            )
-            tan_y = jnp.tan(jnp.deg2rad(s.cam_fov_y) * 0.5)
-            tan_x = tan_y * (self.obs_width / self.obs_height)
-            uni = jnp.zeros(32, jnp.float32)
-            uni = uni.at[0:3].set(origin).at[3:6].set(fwd)
-            uni = uni.at[6:9].set(up).at[9:12].set(right)
-            uni = uni.at[12].set(tan_x).at[13].set(tan_y)
-            uni = uni.at[14:17].set(s.sky_color)
-            uni = uni.at[17:20].set(s.light_pos)
-            uni = uni.at[20:23].set(s.light_color)
-            uni = uni.at[23:26].set(s.light_ambient)
-
-            shape = bank.proto_shape[s.layout_id, s.ent_proto]
-            static = bank.proto_static[s.layout_id, s.ent_proto]
-            active = s.ent_alive & ~static & (shape != 0)
-            num_e = s.ent_pos.shape[0]
-            ent = jnp.zeros((num_e, 16), jnp.float32)
-            ent = ent.at[:, 0:3].set(s.ent_pos)
-            ent = ent.at[:, 3].set(s.ent_dir)
-            ent = ent.at[:, 4:7].set(s.ent_size)
-            ent = ent.at[:, 7].set(s.ent_height)
-            ent = ent.at[:, 8:11].set(s.ent_color)
-            ent = ent.at[:, 11].set(shape.astype(jnp.float32))
-            ent = ent.at[:, 12].set(active.astype(jnp.float32))
-
-            return uni, ent
-
-        uniforms, ent_attr = jax.vmap(pack_one)(state)
-        sched = self._pallas_schedules(bank, state)
-        n_chunks = bank.pallas_pack.shape[1] // self.tri_chunk
-        lid = state.layout_id
-
-        mesh_pack = mesh_aabb = None
-        if self._shapes_present[2]:
-            # dynamic mesh entities: world-space rows per env in the
-            # kernel's pack layout (the XLA path builds the same rows
-            # for its seeding pass — raycast.entity_mesh_rows), plus
-            # per-chunk AABBs over LIVE rows (the kernel tile-culls
-            # the seeding pass like any other chunk; entities project
-            # to a handful of tiles)
-            tc = self.tri_chunk
-
-            def mesh_one(s):
-                verts, attrs, valid = entity_mesh_rows(
-                    bank, s.layout_id, s, fourier=True,
-                    return_valid=True,
-                )
-                em = verts.shape[0]
-                em_pad = -(-em // tc) * tc
-                rows = jnp.zeros((em_pad, 32), jnp.float32)
-                rows = rows.at[:em, 0:9].set(verts.reshape(em, 9))
-                rows = rows.at[:em, 9:25].set(attrs)
-                mc = em_pad // tc
-                v = jnp.zeros((em_pad, 3, 3), jnp.float32).at[:em].set(verts)
-                m = jnp.zeros((em_pad,), bool).at[:em].set(valid)
-                v = v.reshape(mc, tc, 3, 3)
-                m = m[:, None, None].reshape(mc, tc, 1, 1)
-                mn = jnp.min(jnp.where(m, v, jnp.inf), axis=(1, 2))
-                mx = jnp.max(jnp.where(m, v, -jnp.inf), axis=(1, 2))
-                return rows, jnp.concatenate([mn, mx], axis=1)
-
-            mesh_pack, mesh_aabb = jax.vmap(mesh_one)(state)
-
-        keys = jax.lax.bitcast_convert_type(
-            state.tri_slots.astype(jnp.uint32), jnp.int32
-        )
-        rgb, depth = render_batch_pallas(
-            lid, sched, keys, bank.pallas_pack,
-            uniforms[:, None, :], ent_attr, atlas, mesh_pack,
-            bank.pallas_chunk_aabb, mesh_aabb,
-            width=self.obs_width, height=self.obs_height,
-            k_terms=self.fourier_k, tri_chunk=self.tri_chunk,
-            dr_active=self.domain_rand, has_gain=self._tex_has_gain,
-            tile_skip=self._pallas_tile_skip,
-            occlusion_skip=self._pallas_occlusion_skip,
-            # Mosaic only lowers on TPU; tests exercise the kernel
-            # through the interpreter on the forced-CPU backend
-            interpret=jax.default_backend() == "cpu",
-        )
-        return jax.vmap(self._wrap_obs_one)(rgb, depth, state)
-
-    def _pallas_schedules(self, bank: Layout, state: EnvState):
-        """(B, NS) i32 per-env chunk schedules for the fused kernel.
-
-        PVS visibility is identical to the XLA path's
-        (raycast.chunk_schedule / packed room_base + arange); on top of
-        it, slots whose chunk AABB lies fully outside the camera
-        frustum (conservative p-vertex plane test, so culling is
-        pixel-exact) are replaced by a REPEAT of the previous kept
-        slot — the kernel skips repeated indices entirely
-        (pallas_kernel2), so per-env work tracks the chunks actually
-        in view, not the static worst case the XLA scan pays for.
-        """
-        from miniworld_tpu.ops import geom
-        from miniworld_tpu.render.raycast import room_of_point
-
-        n_chunks = bank.pallas_pack.shape[1] // self.tri_chunk
-        aabb = bank.pallas_chunk_aabb  # (L, C, 6)
-
-        def wedge_vis(s, boxes):
-            """(N,) bool: can any in-frustum ray with t > 0 reach each
-            AABB? Inward frustum plane normals from the camera basis;
-            a box is culled only when ALL its corners are outside one
-            plane (max-corner / p-vertex test) — conservative, with a
-            1e-3 margin absorbing f32 roundoff (pixel-center rays are
-            strictly inside the full-tan wedge by ~tan_x/W >> 1e-3)."""
-            fwd, up, right = geom.cam_basis(s.dir, s.cam_pitch)
-            origin = geom.cam_position(
-                s.pos, s.dir, s.cam_height, s.cam_fwd_disp
-            )
-            tan_y = jnp.tan(jnp.deg2rad(s.cam_fov_y) * 0.5)
-            tan_x = tan_y * (self.obs_width / self.obs_height)
-            planes = jnp.stack([
-                tan_x * fwd + right,
-                tan_x * fwd - right,
-                tan_y * fwd + up,
-                tan_y * fwd - up,
-            ])  # (4, 3) inward normals through the origin
-            mn, mx = boxes[:, 0:3], boxes[:, 3:6]
-            corner = jnp.where(planes[:, None, :] > 0, mx[None], mn[None])
-            sgn = jnp.sum((corner - origin) * planes[:, None, :], axis=-1)
-            return jnp.all(sgn >= -1e-3, axis=0)
-
-        if self._pvs_packed:
-            def sched_one(s):
-                origin = geom.cam_position(
-                    s.pos, s.dir, s.cam_height, s.cam_fwd_disp
-                )
-                room = room_of_point(
-                    bank, s.layout_id, origin[jnp.array([0, 2])]
-                )
-                base = bank.pvs_room_base[s.layout_id, room]
-                count = bank.pvs_room_nchunks[s.layout_id, room]
-                sl = self._sched_len
-                # dynamic_slice clamps its start near the bank end;
-                # mirror the clamp so box i always describes chunk
-                # base_c + i (the region still fits: count <= sl)
-                base_c = jnp.minimum(base, n_chunks - sl)
-                boxes = jax.lax.dynamic_slice(
-                    aabb, (s.layout_id, base_c, 0), (1, sl, 6)
-                )[0]
-                idx = base_c + jnp.arange(sl, dtype=jnp.int32)
-                keep = (
-                    (idx >= base) & (idx < base + count)
-                    & wedge_vis(s, boxes)
-                )
-                # fill dropped slots with the previous kept chunk
-                # (prefix max), leading drops with the first kept one
-                o = jax.lax.associative_scan(
-                    jnp.maximum, jnp.where(keep, idx, -1)
-                )
-                first = jnp.min(jnp.where(keep, idx, n_chunks))
-                o = jnp.where(
-                    o < 0, jnp.minimum(first, base + count - 1), o
-                )
-                return jnp.minimum(o, base + count - 1)
-
-            sched = jax.vmap(sched_one)(state)
-        else:
-            chunk_vis = self._chunk_vis  # may be None (full scan)
-            sched_len = (
-                self._sched_len if chunk_vis is not None else n_chunks
-            )
-
-            def sched_one(s):
-                origin = geom.cam_position(
-                    s.pos, s.dir, s.cam_height, s.cam_fwd_disp
-                )
-                vis = wedge_vis(s, aabb[s.layout_id])  # (C,)
-                if chunk_vis is not None:
-                    room = room_of_point(
-                        bank, s.layout_id, origin[jnp.array([0, 2])]
-                    )
-                    vis = vis & chunk_vis[s.layout_id, :, room]
-                idx = jnp.arange(n_chunks, dtype=jnp.int32)
-                keys = jax.lax.sort(
-                    jnp.where(vis, idx, n_chunks)
-                )[:sched_len]
-                valid = keys < n_chunks
-                last = jnp.max(jnp.where(valid, keys, -1))
-                return jnp.where(valid, keys, jnp.maximum(last, 0))
-
-            sched = jax.vmap(sched_one)(state)
-        return jnp.clip(sched, 0, n_chunks - 1)
 
     def visible_ents(self, state):
         """(B, E) bool visibility mask (get_visible_ents parity,
-        miniworld/miniworld.py:1576-1670)."""
+        miniworld/miniworld.py:1576-1670): per-pixel occlusion queries
+        at the env's obs resolution, like the reference's obs_fb."""
         from miniworld_tpu.render.visibility import visible_ents
 
         if not hasattr(self, "_vis_jit"):
-            self._vis_jit = jax.jit(
-                jax.vmap(visible_ents, in_axes=(None, 0))
-            )
+            fn = partial(visible_ents, width=self.obs_width,
+                         height=self.obs_height)
+            self._vis_jit = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
         return self._vis_jit(self._bank, state)
 
     # -- public API -------------------------------------------------------------

@@ -146,9 +146,16 @@ def test_visible_ents_vector():
                        obs_height=H)
     state, _ = env.reset(jax.random.key(0))
     box = np.asarray(state.ent_pos[0, 0])
-    agent = np.asarray(state.pos[0])
+    # stand 3 m from the box facing it: close enough that the 0.2 m GL
+    # query box spans a pixel at 32x24, far enough that it is not below
+    # the 60-degree frustum (the camera sits at 1.5 m height — at 2 m
+    # the ground box is outside the fov and GL answers invisible too)
+    agent = box + np.asarray([3.0, 0.0, 0.0]) * np.where(
+        box[0] > 5.0, -1.0, 1.0
+    )
     d = box - agent
     face = math.atan2(-d[2], d[0])
+    state = state.replace(pos=jnp.asarray([agent], jnp.float32))
     state_facing = state.replace(
         dir=jnp.asarray([face], jnp.float32),
         cam_pitch=jnp.asarray([0.0], jnp.float32),
