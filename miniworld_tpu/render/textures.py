@@ -36,7 +36,15 @@ ATLAS_RES = 256
 # (0.008-0.045) beats an 8x8 mip (0.012-0.185) on every wall/floor
 # texture, i.e. it is sharper than what GL trilinear minification shows
 # at 80x60 observation sizes.
-FOURIER_TERMS = 32
+# Default Fourier term count. Measured round 3 (PERF.md): rendered
+# error vs the exact nearest-sampling ground truth is identical at
+# K=16 and K=32 on every benchmarked env (PSNR within 0.1 dB — the
+# model's own error dominates truncation; the fit keeps terms
+# energy-sorted so truncation drops the weakest), while the per-pixel
+# texture stage — the largest render cost at small scene sizes —
+# scales linearly with K. K=8 visibly softens checkerboards. Glyph
+# envs override per spec (Sign uses 64, envs/interact.py).
+FOURIER_TERMS = 16
 
 
 def fit_fourier_texture(img: np.ndarray, k: int = FOURIER_TERMS,
