@@ -170,6 +170,8 @@ def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
     def step(tstate, state, obs, depth, key):
         return train_jit(env._bank, env._atlas, tstate, state, obs, depth, key)
 
+    # HLO-inspection hook (tests assert the gradient all-reduce exists)
+    step.lower = lambda *a: train_jit.lower(env._bank, env._atlas, *a)
     return step, _make_init(env, num_actions, continuous)
 
 
@@ -331,4 +333,6 @@ def make_ppo_step(env, mesh, horizon: int = 16, lr: float = 3e-4,
     def step(tstate, state, obs, depth, key):
         return train_jit(env._bank, env._atlas, tstate, state, obs, depth, key)
 
+    # HLO-inspection hook (tests assert the gradient all-reduce exists)
+    step.lower = lambda *a: train_jit.lower(env._bank, env._atlas, *a)
     return step, _make_init(env, num_actions, continuous)
