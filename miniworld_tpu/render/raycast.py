@@ -427,7 +427,24 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
             preferred_element_type=jnp.float32,
         )  # (HW, 4): [dc rgb | gain]
         gain = dcg[:, 3:4]
-        s = jnp.clip(0.5 - texel[:, 0:1] * gain, 0.0, 1.0)
+        # SDF edge half-width, in texels: the static fit width, grown
+        # to HALF THE PIXEL FOOTPRINT under minification. The AA
+        # attenuation turns the reconstructed SDF into its local mean
+        # over the footprint, and thresholding a mean at a fixed
+        # width makes distant glyphs collapse to mid-gray (every
+        # pixel lands inside the widened apparent edge); scaling the
+        # width with the footprint instead recovers COVERAGE — the
+        # box-filtered glyph a mip-mapped renderer would show — so
+        # small on-screen glyphs stay legible (oracle:
+        # tests/test_render.py native-scale classification).
+        w0 = -1.0 / (2.0 * jnp.minimum(gain, -1e-9))
+        if footprint is not None:
+            from miniworld_tpu.render.textures import ATLAS_RES
+
+            w_eff = jnp.maximum(w0, 0.5 * footprint[:, None] * ATLAS_RES)
+        else:
+            w_eff = w0
+        s = jnp.clip(0.5 + texel[:, 0:1] / (2.0 * w_eff), 0.0, 1.0)
         sdf_texel = texel[:, 1:2] + (texel[:, 2:3] - texel[:, 1:2]) * s
         texel = jnp.where(gain < 0.0, sdf_texel, texel)
         texel = jnp.where(

@@ -237,6 +237,75 @@ def test_glyph_sdf_mode_flag():
     assert table[floor_idx, -1] == 1.0
 
 
+def test_glyph_legibility_native_scale():
+    """Quantitative legibility at Sign's NATIVE on-screen glyph size.
+
+    Sign's TextFrame shows BLUE/RED/GREEN (reference envs/sign.py:158)
+    on a height-1 frame ~3-5 m from typical agent poses; at the 80x60
+    default obs a character covers roughly 8-16 pixels. Each glyph the
+    env can show is reconstructed through the production texture path
+    (Fourier-SDF at Sign's K=64, with the frequency-space AA footprint
+    a real pixel of that size would carry) on an s x s grid, and must
+    (a) correlate with its own box-downsampled ground truth and
+    (b) be CLASSIFIED correctly against every other glyph in the set —
+    correlation-argmax over the alphabet, the operational meaning of
+    'legible'."""
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from miniworld_tpu.render import raycast
+    from miniworld_tpu.render.textures import ATLAS_RES, TextureCatalog
+    from miniworld_tpu.utils.assets import texture_variant_paths
+
+    K = 64  # Sign's EnvSpec.fourier_k (envs/interact.py)
+    chars = sorted(set("BLUEREDGREEN"))
+    cat = TextureCatalog()
+    paths = {}
+    for ch in chars:
+        # the reference names glyphs ch_0x<DECIMAL ord> (entity.py quirk)
+        paths[ch] = texture_variant_paths(f"chars/ch_0x{ord(ch)}")[0]
+        cat.add_path(paths[ch])
+    table = jnp.asarray(cat.build_fourier(K))
+
+    def render_at(idx, s):
+        uu, vv = np.meshgrid((np.arange(s) + 0.5) / s,
+                             (np.arange(s) + 0.5) / s, indexing="xy")
+        uv = jnp.asarray(np.stack([uu.ravel(), vv.ravel()], axis=1),
+                         jnp.float32)
+        texel = np.asarray(raycast.eval_fourier(
+            table, jnp.full(s * s, float(idx), jnp.float32), uv,
+            k_terms=K, footprint=jnp.full(s * s, 1.0 / s, jnp.float32),
+        ))
+        return texel.mean(axis=1).reshape(s, s)[::-1]  # v-up -> rows
+
+    def truth_at(ch, s):
+        img = np.asarray(Image.open(paths[ch]).convert("L").resize(
+            (s, s), Image.BOX), np.float32) / 255.0
+        return img
+
+    def ncc(a, b):
+        a = a - a.mean()
+        b = b - b.mean()
+        den = np.sqrt((a * a).sum() * (b * b).sum())
+        return float((a * b).sum() / max(den, 1e-9))
+
+    # at 12+ px/char every glyph self-correlates > 0.85 and classifies
+    # perfectly; at 8 px (the far end of Sign's viewing range) 7/8
+    # still classify (measured after the footprint-scaled SDF width —
+    # the fixed width collapsed distant glyphs to mid-gray, 0.00
+    # self-correlation)
+    for s, min_diag, min_cls in ((8, 0.0, 7), (12, 0.85, 8), (16, 0.85, 8)):
+        rendered = {ch: render_at(i, s) for i, ch in enumerate(chars)}
+        truths = {ch: truth_at(ch, s) for ch in chars}
+        classified = 0
+        for ch in chars:
+            corrs = {c2: ncc(rendered[ch], truths[c2]) for c2 in chars}
+            assert corrs[ch] >= min_diag, (s, ch, corrs[ch])
+            classified += max(corrs, key=corrs.get) == ch
+        assert classified >= min_cls, (s, classified)
+
+
 def test_glyph_sdf_legibility():
     """The SDF glyph reconstruction at the Sign env's K=64 classifies
     ink-vs-background well despite the 2-texel stroke dilation: total
