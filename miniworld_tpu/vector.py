@@ -98,6 +98,10 @@ def _to_device(bank_np: Layout) -> Layout:
 _CHUNK_OVERHEAD_TRIS = 56
 
 
+def _round_up16(n: int) -> int:
+    return -(-int(n) // 16) * 16
+
+
 def _chunk_visibility(bank_np: Layout, chunk: int) -> np.ndarray:
     """(L, n_chunks, R) bool: chunk c needed when rendering from room r.
 
@@ -222,15 +226,11 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
         return None, chunk_cap, None, np.inf
 
     L, S = bank_np.tri_room.shape
-    if force_k is not None:  # refresh path: reuse the planned chunk
-        candidates = [force_k]
-    else:
-        candidates = [k for k in (32, 48, 64, 96, 128, 160, 192, 224, 256)
-                      if k <= min(chunk_cap, S)] or [min(chunk_cap, S)]
 
     # Per-layout room triangle index lists + per-room visible sets
     # (shared across chunk-size candidates).
     layouts = []
+    p_max = 1  # largest single visible set, in triangles
     for li in range(L):
         tri_room, mask = bank_np.tri_room[li], bank_np.tri_mask[li]
         glob = np.where((tri_room == -1) & mask)[0]
@@ -242,7 +242,22 @@ def plan_packed_pvs(bank_np: Layout, chunk_cap: int,
             key = frozenset(np.where(pvs[li][r] & room_mask[li])[0].tolist())
             room_vset[r] = key
             vsets.setdefault(key, len(vsets))
+            p_max = max(p_max, len(glob) + sum(len(tris_of[q]) for q in key))
         layouts.append((glob, rooms, tris_of, vsets, room_vset))
+
+    if force_k is not None:  # refresh path: reuse the planned chunk
+        candidates = [force_k]
+    else:
+        # fixed ladder + the chunk sizes that cover the WORST visible
+        # set in exactly 1 or 2 scan iterations: measured on chip
+        # (PERF.md round 3), one big fused chunk beats several small
+        # ones — per-iteration fixed costs (attr-carry roundtrip)
+        # rival the triangle math
+        ladder = [32, 48, 64, 96, 128, 160, 192, 224, 256,
+                  _round_up16(-(-p_max // 2)), _round_up16(p_max)]
+        candidates = sorted({k for k in ladder
+                             if 16 <= k <= min(chunk_cap, S)}) \
+            or [min(chunk_cap, S)]
 
     best = (None, chunk_cap, None, np.inf)
     for k in candidates:
@@ -406,8 +421,20 @@ class MiniWorldVec:
         ):
             self.render_microbatch *= 2
         eff_envs = num_envs // self.render_microbatch
-        auto = int(2.5e9 / 4 / max(eff_envs * hw, 1))
-        self.tri_chunk = max(16, min(tri_chunk, (auto // 16) * 16 or 16))
+        # Chunk-size cap. Round-1 XLA materialized (B', HW, chunk)
+        # intermediates, forcing chunk*B'*HW*4 <= 2.5 GB; round-3
+        # profiling shows the t/hit work now fuses to (B', HW) outputs
+        # with no per-chunk materialization (the largest real buffers
+        # are the (B', HW, 16) attr resolves), and Maze ran chunk 384
+        # at B'=2048 x 4800 px without memory pressure. The cap is kept
+        # only as a runaway guard, 8x above any measured config.
+        auto = int(2e10 / 4 / max(eff_envs * hw, 1))
+        # full-scan chunk (user-tunable); the packed-PVS planner may
+        # choose LARGER chunks up to _chunk_cap — fewer scan iterations
+        # measured strictly faster once per-iteration fixed costs
+        # dominate (Maze sched 4x96 -> 1x384: +10-22%, PERF.md round 3)
+        self._chunk_cap = (auto // 16) * 16 or 16
+        self.tri_chunk = max(16, min(tri_chunk, self._chunk_cap))
         self._chunk_vis = None  # set after the bank is compiled
         self._sched_len = None
 
@@ -468,7 +495,7 @@ class MiniWorldVec:
                 * (chunks_k + _CHUNK_OVERHEAD_TRIS)
             )
             packed, packed_k, packed_sched, packed_cost = (
-                plan_packed_pvs(bank_np, self.tri_chunk)
+                plan_packed_pvs(bank_np, self._chunk_cap)
             )
             if packed is not None and packed_cost < chunks_cost:
                 # packed per-room PVS mode: duplicated contiguous
