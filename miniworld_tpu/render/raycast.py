@@ -227,7 +227,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         # barrier: XLA:TPU otherwise fuses/remats iterations of this
         # scan into one (B, HW, S) buffer — 22 GB for an 8x8 maze
         carry = jax.lax.optimization_barrier(carry)
-        t_best, attr_best = carry
+        r_best, attr_best = carry
         v9, attrs = x
 
         # all-lane component math on (TC,) rows (v9 is component-major)
@@ -245,6 +245,16 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         gvx, gvy, gvz = (sy * e1z - sz * e1y, sz * e1x - sx * e1z,
                          sx * e1y - sy * e1x)
         t_num = e2x * gvx + e2y * gvy + e2z * gvz  # (TC,)
+        # Reciprocal-depth competition: t = t_num / det per (tri, px),
+        # but 1/t = det * (1/t_num) needs only a PER-TRIANGLE
+        # reciprocal — the per-(tri, px) divide (the costliest op in
+        # the dominant fusion, ~multi-pass on the VPU) becomes one
+        # multiply, and min-t becomes max-r. Triangles with t_num <= 0
+        # cannot give t > NEAR under det > 0; zeroing their reciprocal
+        # makes r = 0 fail the r > 1/FAR gate.
+        inv_tnum = jnp.where(
+            t_num > 0.0, 1.0 / jnp.where(t_num > 0.0, t_num, 1.0), 0.0
+        )  # (TC,)
 
         # Per-(tri,pixel) contractions as broadcast FMAs in (TC, HW)
         # orientation: triangles lead, pixels minor — the z-buffer
@@ -269,25 +279,24 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         v_num = contract(gvx, gvy, gvz)
 
         # det > 0 <=> front-facing (GL_CULL_FACE; miniworld.py:513)
-        inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
-        t = t_num[:, None] * inv_det
+        r = det * inv_tnum[:, None]  # = 1/t
         hit = (
             (det > 1e-12)
             & (u_num >= 0.0)
             & (v_num >= 0.0)
             & (u_num + v_num <= det)
-            & (t > NEAR)
-            & (t < FAR)
+            & (r < 1.0 / NEAR)
+            & (r > 1.0 / FAR)
         )
-        t = jnp.where(hit, t, jnp.inf)
+        r = jnp.where(hit, r, 0.0)
 
-        t_min = jnp.min(t, axis=0)  # (HW,)
+        r_max = jnp.max(r, axis=0)  # (HW,)
         # one-hot of the within-chunk winner; the attr matmul's ones
         # column returns the row sum for free. Exact ties (GL z-fights)
         # accumulate and are normalized ONCE after the scan by the ones
         # column — bitwise-identical to per-chunk division, minus a
         # (B, HW, 16) divide per iteration.
-        ohf = ((t == t_min[None, :]) & hit).astype(jnp.float32)
+        ohf = ((r == r_max[None, :]) & hit).astype(jnp.float32)
         # attribute resolve: (TC, HW)^T @ (TC, 16) — MXU, no gather.
         # (A component-major (16, HW) carry orientation measured dead
         # even; XLA already lays this out well.)
@@ -303,11 +312,11 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         # into chunks — required for packed-PVS banks, whose chunk
         # boundaries differ from the plain bank's, and harmless for
         # sentinel-repeated chunks (averaging identical attrs is a
-        # no-op). A no-hit chunk ties at inf with sel == 0.
-        closer = t_min < t_best
-        tie = t_min == t_best
+        # no-op). A no-hit chunk ties at r == 0 with sel == 0.
+        closer = r_max > r_best
+        tie = r_max == r_best
         return (
-            jnp.where(closer, t_min, t_best),
+            jnp.where(closer, r_max, r_best),
             jnp.where(
                 closer[:, None], sel,
                 attr_best + jnp.where(tie[:, None], sel, 0.0),
@@ -316,17 +325,22 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
 
     if init is None:
         init = (
-            jnp.full(hw, jnp.inf, jnp.float32),
+            jnp.zeros(hw, jnp.float32),  # r = 1/t; 0 = no hit (t = inf)
             jnp.zeros((hw, ATTR_DIM), jnp.float32),
         )
+    else:
+        # seeds arrive in t-space (the mesh-entity pass); 1/inf == 0
+        init = (1.0 / init[0], init[1])
     # Chunk data is gathered BEFORE the scan (vmapped read_chunk) and
     # fed as scan xs: the scan then unstacks plain slices instead of
     # issuing per-iteration dynamic slices whose scalar offsets stall
     # the pipeline (~7 ms/step of s32 slice chains on maze).
     cs = jnp.arange(n_chunks, dtype=jnp.int32) if chunk_sched is None else chunk_sched
     xs = jax.vmap(read_chunk)(cs)
-    (t_best, attr_best), _ = jax.lax.scan(body, init, xs)
+    (r_best, attr_best), _ = jax.lax.scan(body, init, xs)
     attr_best = attr_best / jnp.maximum(attr_best[:, _ONE:_ONE + 1], 1.0)
+    t_best = jnp.where(r_best > 0.0, 1.0 / jnp.maximum(r_best, 1e-30),
+                       jnp.inf)
     return t_best, attr_best
 
 
@@ -583,6 +597,11 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
     g_u = jnp.cross(e2, s)
     g_v = jnp.cross(s, e1)
     t_num = jnp.sum(e2 * g_v, axis=-1)
+    # reciprocal-depth competition, like _tri_pass: one per-row
+    # reciprocal instead of a per-(row, pixel) divide
+    inv_tnum = jnp.where(
+        t_num > 0.0, 1.0 / jnp.where(t_num > 0.0, t_num, 1.0), 0.0
+    )
 
     def contract(g):
         return (
@@ -594,19 +613,20 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
     det = contract(g_det)  # (E*M, HW)
     u_num = contract(g_u)
     v_num = contract(g_v)
-    inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
-    t = t_num[:, None] * inv_det
+    r = det * inv_tnum[:, None]  # = 1/t
     hit = (
         (det > 1e-12)
         & (u_num >= 0.0)
         & (v_num >= 0.0)
         & (u_num + v_num <= det)
-        & (t > NEAR)
-        & (t < FAR)
+        & (r < 1.0 / NEAR)
+        & (r > 1.0 / FAR)
     )
-    t = jnp.where(hit, t, jnp.inf)
-    t_min = jnp.min(t, axis=0)  # (HW,)
-    ohf = ((t == t_min[None, :]) & hit).astype(jnp.float32)
+    r = jnp.where(hit, r, 0.0)
+    r_max = jnp.max(r, axis=0)  # (HW,)
+    t_min = jnp.where(r_max > 0.0, 1.0 / jnp.maximum(r_max, 1e-30),
+                      jnp.inf)
+    ohf = ((r == r_max[None, :]) & hit).astype(jnp.float32)
     sel = jax.lax.dot_general(
         ohf, attrs,
         dimension_numbers=(((0,), (0,)), ((), ())),
