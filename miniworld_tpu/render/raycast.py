@@ -67,6 +67,13 @@ ATTR_DIM = 16
 _AMAP, _BMAP = slice(0, 6), slice(6, 8)
 _NRM, _COL, _SLOT, _ONE = slice(8, 11), slice(11, 14), 14, 15
 
+# Bits of the z-key's mantissa that carry the winning within-chunk row
+# index (see _tri_pass): caps tri_chunk at 1024 rows and quantizes the
+# depth competition to a 13-bit mantissa — still ~8x finer than the
+# reference's GL_UNSIGNED_SHORT depth buffer (opengl.py:400-435).
+_IDX_BITS = 10
+_IDX_MASK = (1 << _IDX_BITS) - 1
+
 
 def camera_rays(state, width: int, height: int):
     """Per-pixel ray directions (unnormalized, unit forward component).
@@ -174,7 +181,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
     ``init`` ((HW,) t, (HW, ATTR_DIM) attr) seeds the carry — how
     dynamic mesh entities join the z-competition for free (the scan's
     own closer-select is the merge; no post-pass select or layout
-    copies). Seeded attrs must already be tie-normalized.
+    copies).
 
     The vector layer repads the bank so ``S % tri_chunk == 0``
     (MiniWorldVec._repad_for_chunks): chunk boundaries then align
@@ -227,7 +234,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         # barrier: XLA:TPU otherwise fuses/remats iterations of this
         # scan into one (B, HW, S) buffer — 22 GB for an 8x8 maze
         carry = jax.lax.optimization_barrier(carry)
-        r_best, attr_best = carry
+        key_best, attr_best = carry
         v9, attrs = x
 
         # all-lane component math on (TC,) rows (v9 is component-major)
@@ -288,58 +295,70 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
             & (r < 1.0 / NEAR)
             & (r > 1.0 / FAR)
         )
-        r = jnp.where(hit, r, 0.0)
+        # Keyed z-competition: the winner's within-chunk row index is
+        # packed into the low _IDX_BITS mantissa bits of r's bit
+        # pattern (monotone for r > 0, so an i32 max still ranks by
+        # depth; quantizing r to a 13-bit mantissa is far finer than
+        # the reference's 16-bit GL depth buffer, opengl.py:400-435).
+        # The attribute one-hot is then a pure INTEGER COMPARE against
+        # the winning index — without it, XLA rematerialized the whole
+        # det/u/v hit test inside the one-hot's producer fusion
+        # (profiled at ~70% of the primary pass on maze) because the
+        # (TC, HW) intermediates are never materialized. Ties at equal
+        # quantized depth pick the larger row index (GL z-fighting is
+        # order-dependent too).
+        rkey = jax.lax.bitcast_convert_type(r, jnp.int32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (r.shape[0], 1), 0)
+        key = jnp.where(hit, (rkey & ~_IDX_MASK) | idx, 0)
 
-        r_max = jnp.max(r, axis=0)  # (HW,)
-        # one-hot of the within-chunk winner; the attr matmul's ones
-        # column returns the row sum for free. Exact ties (GL z-fights)
-        # accumulate and are normalized ONCE after the scan by the ones
-        # column — bitwise-identical to per-chunk division, minus a
-        # (B, HW, 16) divide per iteration.
-        ohf = ((r == r_max[None, :]) & hit).astype(jnp.float32)
+        key_max = jnp.max(key, axis=0)  # (HW,)
+        ohf = (idx == (key_max & _IDX_MASK)[None, :]).astype(jnp.float32)
         # attribute resolve: (TC, HW)^T @ (TC, 16) — MXU, no gather.
-        # (A component-major (16, HW) carry orientation measured dead
-        # even; XLA already lays this out well.)
+        # (A no-hit pixel selects row 0's attrs; its key stays 0 so the
+        # carry never takes them, and the final t is inf -> sky.)
         sel = jax.lax.dot_general(
             ohf, attrs,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (HW, 16)
 
-        # Exact cross-chunk ties ACCUMULATE into the carry (normalized
-        # once after the scan), matching the in-chunk tie behavior and
-        # making the result invariant to how triangles are partitioned
-        # into chunks — required for packed-PVS banks, whose chunk
-        # boundaries differ from the plain bank's, and harmless for
-        # sentinel-repeated chunks (averaging identical attrs is a
-        # no-op). A no-hit chunk ties at r == 0 with sel == 0.
-        closer = r_max > r_best
-        tie = r_max == r_best
+        # Key comparison across chunks keeps the SINGLE winner (the
+        # packed index makes keys unique per pixel; a repeat-sentinel
+        # chunk reproduces the identical key and is not closer).
+        closer = key_max > key_best
         return (
-            jnp.where(closer, r_max, r_best),
-            jnp.where(
-                closer[:, None], sel,
-                attr_best + jnp.where(tie[:, None], sel, 0.0),
-            ),
+            jnp.where(closer, key_max, key_best),
+            jnp.where(closer[:, None], sel, attr_best),
         ), None
 
     if init is None:
         init = (
-            jnp.zeros(hw, jnp.float32),  # r = 1/t; 0 = no hit (t = inf)
+            jnp.zeros(hw, jnp.int32),  # key 0 = no hit (t = inf)
             jnp.zeros((hw, ATTR_DIM), jnp.float32),
         )
     else:
-        # seeds arrive in t-space (the mesh-entity pass); 1/inf == 0
-        init = (1.0 / init[0], init[1])
+        # seeds arrive in t-space (the mesh-entity pass); 1/inf == 0.
+        # The seed takes the max index so it wins quantized-depth ties
+        # against coincident static geometry deterministically.
+        seed_r = 1.0 / init[0]
+        seed_key = jnp.where(
+            seed_r > 0.0,
+            (jax.lax.bitcast_convert_type(seed_r, jnp.int32)
+             & ~_IDX_MASK) | _IDX_MASK,
+            0,
+        )
+        init = (seed_key, init[1])
     # Chunk data is gathered BEFORE the scan (vmapped read_chunk) and
     # fed as scan xs: the scan then unstacks plain slices instead of
     # issuing per-iteration dynamic slices whose scalar offsets stall
     # the pipeline (~7 ms/step of s32 slice chains on maze).
     cs = jnp.arange(n_chunks, dtype=jnp.int32) if chunk_sched is None else chunk_sched
     xs = jax.vmap(read_chunk)(cs)
-    (r_best, attr_best), _ = jax.lax.scan(body, init, xs)
+    (key_best, attr_best), _ = jax.lax.scan(body, init, xs)
     attr_best = attr_best / jnp.maximum(attr_best[:, _ONE:_ONE + 1], 1.0)
-    t_best = jnp.where(r_best > 0.0, 1.0 / jnp.maximum(r_best, 1e-30),
+    r_best = jax.lax.bitcast_convert_type(key_best & ~_IDX_MASK,
+                                          jnp.float32)
+    t_best = jnp.where(key_best > 0, 1.0 / jnp.maximum(r_best, 1e-30),
                        jnp.inf)
     return t_best, attr_best
 

@@ -433,7 +433,8 @@ class MiniWorldVec:
         # choose LARGER chunks up to _chunk_cap — fewer scan iterations
         # measured strictly faster once per-iteration fixed costs
         # dominate (Maze sched 4x96 -> 1x384: +10-22%, PERF.md round 3)
-        self._chunk_cap = (auto // 16) * 16 or 16
+        # 1024 = the z-key's index budget (raycast._IDX_BITS)
+        self._chunk_cap = min((auto // 16) * 16 or 16, 1024)
         self.tri_chunk = max(16, min(tri_chunk, self._chunk_cap))
         self._chunk_vis = None  # set after the bank is compiled
         self._sched_len = None
