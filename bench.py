@@ -36,19 +36,26 @@ def main():
                        with_depth=True)
     state, obs = env.reset(jax.random.key(0))
 
-    # compile + warmup
+    # compile + warmup. Timing fence: an actual device->host FETCH of
+    # the obs checksum, not block_until_ready — through the axon
+    # tunnel block_until_ready returned early on some programs
+    # (PutNext measured "154M steps/s"; a transfer cannot lie).
     state, obs, outs = env.rollout(state, obs, jax.random.key(1), horizon)
-    jax.block_until_ready(outs["obs_sum"])
+    float(jax.device_get(outs["obs_sum"]).sum())
 
     best = 0.0
+    checksums = []
     for trial in range(3):
         t0 = time.perf_counter()
         state, obs, outs = env.rollout(
             state, obs, jax.random.key(2 + trial), horizon
         )
-        jax.block_until_ready(outs["obs_sum"])
+        checksums.append(float(jax.device_get(outs["obs_sum"]).sum()))
         dt = time.perf_counter() - t0
         best = max(best, horizon * num_envs / dt)
+    # sanity: varying inputs must produce varying renders (guards
+    # against any result-caching or constant-folding shortcut)
+    assert len(set(checksums)) > 1, checksums
 
     print(json.dumps({
         "metric": f"env-steps/s/chip ({env_id}, B={num_envs}, 80x60 RGB-D, "

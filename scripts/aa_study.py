@@ -66,13 +66,13 @@ def edge_mask(depth: np.ndarray, thresh: float = 0.2) -> np.ndarray:
 
 def bench(env, state, obs, horizon=30, trials=2):
     state, obs, outs = env.rollout(state, obs, jax.random.key(1), horizon)
-    jax.block_until_ready(outs["obs_sum"])
+    float(jax.device_get(outs["obs_sum"]).sum())  # fetch = honest fence (PERF.md)
     best = 0.0
     for t in range(trials):
         t0 = time.perf_counter()
         state, obs, outs = env.rollout(state, obs, jax.random.key(2 + t),
                                        horizon)
-        jax.block_until_ready(outs["obs_sum"])
+        float(jax.device_get(outs["obs_sum"]).sum())  # fetch = honest fence (PERF.md)
         best = max(best, horizon * env.num_envs / (time.perf_counter() - t0))
     return best
 

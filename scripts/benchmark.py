@@ -61,7 +61,7 @@ def bench_vector(args):
     state, obs = env.reset(jax.random.key(0))
     t0 = time.perf_counter()
     state, obs, outs = env.rollout(state, obs, jax.random.key(1), args.horizon)
-    jax.block_until_ready(outs["obs_sum"])
+    float(jax.device_get(outs["obs_sum"]).sum())  # fetch = honest fence (PERF.md)
     print(f"compile+first rollout: {time.perf_counter() - t0:.1f} s")
 
     best = 0.0
@@ -70,7 +70,7 @@ def bench_vector(args):
         state, obs, outs = env.rollout(
             state, obs, jax.random.key(2 + trial), args.horizon
         )
-        jax.block_until_ready(outs["obs_sum"])
+        float(jax.device_get(outs["obs_sum"]).sum())  # fetch = honest fence (PERF.md)
         dt = time.perf_counter() - t0
         sps = args.horizon * args.num_envs / dt
         best = max(best, sps)

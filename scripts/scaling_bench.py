@@ -46,13 +46,13 @@ def measure(n_devices: int, envs_per_device: int, obs_w: int, obs_h: int,
 
     tstate, state, obs, depth, m = step(tstate, state, obs, depth,
                                         jax.random.key(1))
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))  # fetch = honest fence (PERF.md)
     t0 = time.perf_counter()
     trials = 3
     for i in range(trials):
         tstate, state, obs, depth, m = step(tstate, state, obs, depth,
                                             jax.random.key(2 + i))
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))  # fetch = honest fence (PERF.md)
     dt = time.perf_counter() - t0
     return trials * horizon * env.num_envs / dt
 
