@@ -11,7 +11,11 @@ default JAX backend and prints ONE JSON line:
 throughput numbers (/root/reference/README.md:31-41 is qualitative
 only, scripts/benchmark.py prints without recording).
 
-Usage: python bench.py [env_id] [num_envs] [horizon]
+Usage: python bench.py [env_id] [num_envs] [horizon] [--procgen]
+
+``--procgen`` (maze-grid envs only) switches to device-side per-reset
+maze generation (a fresh recursive-backtracker maze per episode,
+reference reset semantics) instead of the compiled layout bank.
 """
 
 from __future__ import annotations
@@ -26,14 +30,16 @@ TARGET = 1_000_000.0  # north-star env-steps/s per host (BASELINE.json)
 
 
 def main():
-    env_id = sys.argv[1] if len(sys.argv) > 1 else "MiniWorld-Hallway-v0"
-    num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    horizon = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    args = [a for a in sys.argv[1:] if a != "--procgen"]
+    procgen = "--procgen" in sys.argv[1:]
+    env_id = args[0] if len(args) > 0 else "MiniWorld-Hallway-v0"
+    num_envs = int(args[1]) if len(args) > 1 else 1024
+    horizon = int(args[2]) if len(args) > 2 else 50
 
     from miniworld_tpu import MiniWorldVec
 
     env = MiniWorldVec(env_id, num_envs=num_envs, obs_width=80, obs_height=60,
-                       with_depth=True)
+                       with_depth=True, procgen=procgen)
     state, obs = env.reset(jax.random.key(0))
 
     # compile + warmup. Timing fence: an actual device->host FETCH of
@@ -59,7 +65,7 @@ def main():
 
     print(json.dumps({
         "metric": f"env-steps/s/chip ({env_id}, B={num_envs}, 80x60 RGB-D, "
-                  "fused rollout)",
+                  + ("procgen, " if procgen else "") + "fused rollout)",
         "value": round(best),
         "unit": "env-steps/s",
         "vs_baseline": round(best / TARGET, 4),

@@ -52,6 +52,12 @@ def main():
                         "reference's per-reset generation). Banks are "
                         "prepared in a background thread and the swap "
                         "is recompile-free (shape-stable).")
+    p.add_argument("--procgen", action="store_true",
+                   help="maze-grid envs: generate a fresh maze ON "
+                        "DEVICE at every reset (reference reset "
+                        "semantics, miniworld/envs/maze.py:100-149) "
+                        "instead of cycling a compiled layout bank; "
+                        "--refresh-layouts-every is then unnecessary")
     args = p.parse_args()
     obs_w, obs_h = map(int, args.obs.split("x"))
 
@@ -67,7 +73,7 @@ def main():
     print(f"devices: {n_dev} x {mesh.devices.flat[0].platform}, envs: {num_envs}")
 
     env = MiniWorldVec(args.env, num_envs=num_envs, obs_width=obs_w,
-                       obs_height=obs_h)
+                       obs_height=obs_h, procgen=args.procgen)
     step, init = make_train_step(env, mesh, horizon=args.horizon, lr=args.lr,
                                  gamma=args.gamma)
     tstate, state, obs, depth = init(jax.random.key(args.seed))

@@ -24,16 +24,42 @@ import jax.numpy as jnp
 from miniworld_tpu.ops import geom
 
 
-def sample_room(key: jax.Array, lay) -> jax.Array:
+def sample_room(key: jax.Array, lay, room_weight=None) -> jax.Array:
     """Room index sampled proportionally to floor bbox area.
 
     Manual inverse-CDF categorical — jax.random.choice(p=...) compiles
     pathologically slowly under vmap.
+
+    ``room_weight`` ((R,) f32, optional) multiplies the area weights —
+    procgen mazes zero out the junction rooms of closed walls, matching
+    the reference's choice over rooms that exist
+    (miniworld/miniworld.py:957-963).
     """
     probs = jnp.where(lay.room_mask, lay.room_area, 0.0)
+    if room_weight is not None:
+        probs = probs * room_weight
     cdf = jnp.cumsum(probs)
     u = jax.random.uniform(key, (), maxval=1.0) * cdf[-1]
     return jnp.argmax(u < cdf).astype(jnp.int32)
+
+
+def gate_segs4(segs4, codes, wall_open):
+    """Deactivate per-env non-solid segments in a (4, NS) pack.
+
+    ``codes`` ((NS,) i32): -1 = always solid; w = solid iff wall w is
+    CLOSED (the closed-wall quads' collision segments,
+    scene/supermaze.py). Inactive segments are shifted far away (same
+    convention as the pack's SEG_PAD padding) instead of masked — the
+    distance test needs no extra operand. The wall lookup is a one-hot
+    contract (gathers cost ~16 ns/element on TPU).
+    """
+    w = wall_open.shape[0]
+    oh = (codes[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    openv = oh @ wall_open  # (NS,)
+    solid = (codes < 0) | (openv < 0.5)
+    return segs4 + jnp.where(solid, 0.0, 1e9)[None, :]
 
 
 def place_one(
@@ -52,6 +78,8 @@ def place_one(
     ent_radius: jax.Array,  # (E,)
     ent_mask: jax.Array,  # (E,) which rows to collide against
     budget: int = 16,
+    room_weight=None,  # (R,) f32 per-env room weights (procgen)
+    seg_gate=None,  # (room_seg_wall (L,R,NS), wall_open (W,)) (procgen)
 ):
     """Sample one entity pose. Returns (pos (3,), dir ())."""
 
@@ -68,7 +96,9 @@ def place_one(
 
     def one_try(k):
         k_room, k_pos = jax.random.split(k)
-        room_idx = jnp.where(rule_room >= 0, rule_room, sample_room(k_room, lay))
+        room_idx = jnp.where(
+            rule_room >= 0, rule_room, sample_room(k_room, lay, room_weight)
+        )
         aabb = lay.room_aabb[room_idx]  # [min_x, max_x, min_z, max_z]
         bbox = jnp.where(jnp.isnan(rule_bbox), aabb, rule_bbox)
         lo = jnp.stack([bbox[0] - radius, 0.0, bbox[2] - radius])
@@ -89,6 +119,12 @@ def place_one(
         segs4 = jax.lax.dynamic_slice(
             room_segs, (layout_id, room_idx, 0, 0), (1, 1, 4, ns)
         )[0, 0]
+        if seg_gate is not None:
+            rsw, wall_open = seg_gate
+            codes = jax.lax.dynamic_slice(
+                rsw, (layout_id, room_idx, 0), (1, 1, ns)
+            )[0, 0]
+            segs4 = gate_segs4(segs4, codes, wall_open)
         wall_hit = geom.circle_segs4(pos_xz, radius, segs4)
         ent_hit = (
             geom.circle_vs_entities(pos_xz, radius, ent_pos_xz, ent_radius, ent_mask)
@@ -114,7 +150,9 @@ def place_one(
     # is an overlapping-but-in-room spawn — never an out-of-room one
     # the walls would then trap outside.
     k_room2 = jax.random.fold_in(k_tries, 1)
-    room_idx = jnp.where(rule_room >= 0, rule_room, sample_room(k_room2, lay))
+    room_idx = jnp.where(
+        rule_room >= 0, rule_room, sample_room(k_room2, lay, room_weight)
+    )
     aabb = lay.room_aabb[room_idx]
     ctr = jnp.stack([
         jnp.clip(pos[0], jnp.minimum(aabb[0] + radius, aabb[1] - radius),

@@ -152,7 +152,7 @@ def hash01(key: jax.Array, ids: jax.Array) -> jax.Array:
 def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
               tri_chunk: int, slot_key=None, tex_banks=None,
               dr_active: bool = False, chunk_sched=None,
-              init=None):
+              init=None, tri_active=None):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
     ``verts9_bank`` (L, 9, S) and ``attr_bank`` (L, S, ATTR_DIM) are the
@@ -182,6 +182,12 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
     dynamic mesh entities join the z-competition for free (the scan's
     own closer-select is the merge; no post-pass select or layout
     copies).
+
+    ``tri_active`` ((S,) f32 0/1, optional) kills triangles per ENV for
+    free (procgen super-banks, scene/supermaze.py): the activity
+    multiplies into the per-TRIANGLE reciprocal ``inv_tnum``, so a
+    killed triangle's r is exactly 0 and fails the r > 1/FAR gate —
+    zero per-pixel cost. Dense scans only (asserted).
 
     The vector layer repads the bank so ``S % tri_chunk == 0``
     (MiniWorldVec._repad_for_chunks): chunk boundaries then align
@@ -235,7 +241,10 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         # scan into one (B, HW, S) buffer — 22 GB for an 8x8 maze
         carry = jax.lax.optimization_barrier(carry)
         key_best, attr_best = carry
-        v9, attrs = x
+        if tri_active is None:
+            v9, attrs = x
+        else:
+            v9, attrs, act = x
 
         # all-lane component math on (TC,) rows (v9 is component-major)
         e1x, e1y, e1z = v9[3] - v9[0], v9[4] - v9[1], v9[5] - v9[2]
@@ -262,6 +271,10 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         inv_tnum = jnp.where(
             t_num > 0.0, 1.0 / jnp.where(t_num > 0.0, t_num, 1.0), 0.0
         )  # (TC,)
+        if tri_active is not None:
+            # per-env triangle kill: r = det * inv_tnum becomes exactly
+            # 0 for killed rows and fails the r > 1/FAR gate
+            inv_tnum = inv_tnum * act
 
         # Per-(tri,pixel) contractions as broadcast FMAs in (TC, HW)
         # orientation: triangles lead, pixels minor — the z-buffer
@@ -354,6 +367,9 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
     # the pipeline (~7 ms/step of s32 slice chains on maze).
     cs = jnp.arange(n_chunks, dtype=jnp.int32) if chunk_sched is None else chunk_sched
     xs = jax.vmap(read_chunk)(cs)
+    if tri_active is not None:
+        assert chunk_sched is None, "tri_active requires a dense scan"
+        xs = (*xs, tri_active.reshape(n_chunks, tri_chunk))
     (key_best, attr_best), _ = jax.lax.scan(body, init, xs)
     attr_best = attr_best / jnp.maximum(attr_best[:, _ONE:_ONE + 1], 1.0)
     r_best = jax.lax.bitcast_convert_type(key_best & ~_IDX_MASK,
@@ -808,6 +824,7 @@ def render_rgbd(
     pvs_packed: bool = False,
     domain_rand: bool = False,
     supersample: int = 1,
+    procgen: bool = False,
 ):
     """Render one env's observation. Returns (rgb u8 (H,W,3), depth (H,W,1)).
 
@@ -832,6 +849,11 @@ def render_rgbd(
     ``domain_rand`` (static) activates the per-episode variant draws
     keyed on ``state.tri_slots`` (a () u32 key); off, every slot
     renders variant 0 like the reference with rand_params absent.
+
+    ``procgen`` (static): the bank is a single super layout
+    (scene/supermaze.py) and ``state.wall_open`` holds this episode's
+    wall bitmask; per-env triangle activity is one matvec against the
+    bank's static one-hot and rides the scan's per-triangle reciprocal.
 
     ``supersample=2`` renders a 2x2 ordered grid per pixel and
     box-filters the shaded color down — the edge-anti-aliasing analog
@@ -880,12 +902,20 @@ def render_rgbd(
     # the slot column stays the slot id, resolved through tex_map in
     # eval_nearest.
     use_key = tex["mode"] == "fourier" and domain_rand
+    tri_active = None
+    if procgen:
+        # (S,) f32, exact 0/1: active = base + open @ K (signed K:
+        # -1 at closed-wall quads, +1 at junction content; see
+        # scene/compile.Layout procgen fields)
+        tri_active = (
+            bank.tri_active_base[0] + state.wall_open @ bank.tri_wall_onehot[0]
+        )
     t_tri, attr = _tri_pass(
         v9_bank, at_bank, layout_id, origin, dirs, tri_chunk,
         slot_key=state.tri_slots if use_key else None,
         tex_banks=tex_banks if use_key else None,
         dr_active=domain_rand,
-        chunk_sched=sched, init=seed,
+        chunk_sched=sched, init=seed, tri_active=tri_active,
     )
     has_analytic = shapes_present[0] or shapes_present[1]
     if has_analytic:

@@ -69,7 +69,16 @@ def render_top_view(
     # triangle pass with per-pixel origins: reuse the chunk scan by
     # shifting each ray to a shared origin? Ortho rays differ in origin,
     # not direction — run the scan math with per-pixel origin instead.
-    t_tri, attr = _tri_pass_ortho(bank, state.layout_id, origins, down)
+    tri_active = None
+    if state.wall_open is not None and bank.tri_wall_onehot is not None:
+        # procgen super-bank (scene/supermaze.py): open walls' closed
+        # quads and closed walls' junction content don't exist this
+        # episode (signed activity matvec, scene/compile.Layout)
+        tri_active = (
+            bank.tri_active_base[0] + state.wall_open @ bank.tri_wall_onehot[0]
+        )
+    t_tri, attr = _tri_pass_ortho(bank, state.layout_id, origins, down,
+                                  tri_active=tri_active)
     t_ent, col_ent, n_ent = _entity_pass_ortho(bank, state, origins, down)
 
     # UV from the affine texture map at the hit point
@@ -129,8 +138,11 @@ def render_top_view(
     return rgb_u8.reshape(height, width, 3)
 
 
-def _tri_pass_ortho(bank, layout_id, origins, dirs):
-    """Variant of raycast._tri_pass with per-pixel ray origins."""
+def _tri_pass_ortho(bank, layout_id, origins, dirs, tri_active=None):
+    """Variant of raycast._tri_pass with per-pixel ray origins.
+
+    ``tri_active`` ((S,) f32 0/1): per-env triangle kill for procgen
+    super-banks (open walls' closed quads)."""
     num_tris = bank.tri_verts.shape[-3]
     tri_chunk = min(128, num_tris)
     n_chunks = -(-num_tris // tri_chunk)
@@ -148,6 +160,11 @@ def _tri_pass_ortho(bank, layout_id, origins, dirs):
         mask = jax.lax.dynamic_slice(
             bank.tri_mask, (layout_id, start), (1, tri_chunk)
         )[0]
+        if tri_active is not None:
+            mask = mask & (
+                jax.lax.dynamic_slice(tri_active, (start,), (tri_chunk,))
+                > 0.5
+            )
 
         v0 = verts[:, 0]
         e1 = verts[:, 1] - v0

@@ -35,11 +35,16 @@ BOX_R = 0.1
 BOX_H = 0.2
 
 
-def _room_depth(bank, layout_id, origin, dirs, tri_chunk: int = 128):
+def _room_depth(bank, layout_id, origin, dirs, tri_chunk: int = 128,
+                tri_active=None):
     """Nearest ROOM-triangle hit per ray (HW,) — the depth buffer the
     occlusion queries test against (rooms only: the reference's query
     pass renders `room._render()` and nothing else,
     miniworld/miniworld.py:1627-1629; front faces only, GL_CULL_FACE).
+
+    ``tri_active`` ((S,) f32 0/1, optional): per-env triangle activity
+    for procgen super-banks (scene/supermaze.py) — open walls' closed
+    quads don't occlude.
     """
     num_tris = bank.tri_verts.shape[-3]
     tri_chunk = min(tri_chunk, num_tris)
@@ -55,6 +60,11 @@ def _room_depth(bank, layout_id, origin, dirs, tri_chunk: int = 128):
         )[0] & jax.lax.dynamic_slice(
             bank.tri_is_room, (layout_id, start), (1, tri_chunk)
         )[0]
+        if tri_active is not None:
+            mask = mask & (
+                jax.lax.dynamic_slice(tri_active, (start,), (tri_chunk,))
+                > 0.5
+            )
         v0 = verts[:, 0]
         e1 = verts[:, 1] - v0
         e2 = verts[:, 2] - v0
@@ -98,7 +108,13 @@ def visible_ents(bank, state, width: int = 80, height: int = 60) -> jax.Array:
         state.pos, state.dir, state.cam_height, state.cam_fwd_disp
     )
     dirs = camera_rays(state, width, height)  # (HW, 3)
-    d_static = _room_depth(bank, state.layout_id, origin, dirs)  # (HW,)
+    tri_active = None
+    if state.wall_open is not None and bank.tri_wall_onehot is not None:
+        tri_active = (
+            bank.tri_active_base[0] + state.wall_open @ bank.tri_wall_onehot[0]
+        )
+    d_static = _room_depth(bank, state.layout_id, origin, dirs,
+                           tri_active=tri_active)  # (HW,)
 
     safe_d = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)  # (HW, 3)
 

@@ -62,7 +62,7 @@ def _seg_intersects_rect(a, b, lo_x, hi_x, lo_z, hi_z) -> bool:
     return True
 
 
-def _room_local_segs(world, segs: np.ndarray) -> np.ndarray:
+def _room_local_segs(world, segs: np.ndarray, seg_codes: np.ndarray | None = None):
     """(R, 4, NS) component-major per-room collision segment packs.
 
     A room's pack holds every wall segment within collision REACH of
@@ -71,6 +71,10 @@ def _room_local_segs(world, segs: np.ndarray) -> np.ndarray:
     (radius + step), the carried-object check at its forward offset
     (miniworld.py:677-689), the pickup probe, and rejection-sampled
     positions up to ``radius`` outside the room bbox.
+
+    ``seg_codes`` ((n_segs,) i32, procgen super-banks): also returns a
+    parallel (R, NS) pack of per-seg wall codes (pad columns = -1 =
+    always solid).
     """
     max_r = float(world.agent_radius)
     for s in world.slots:
@@ -99,6 +103,7 @@ def _room_local_segs(world, segs: np.ndarray) -> np.ndarray:
     ns = _round_up(max([len(s) for s in sel_per_room] + [1]), 8)
     out = np.full((len(rooms), 4, ns), SEG_PAD, dtype=np.float32)
     out[:, 2, :] = SEG_PAD + 1.0  # b_x: keep pad segments non-degenerate
+    codes = np.full((len(rooms), ns), -1, dtype=np.int32)
     for r, sel in enumerate(sel_per_room):
         if sel:
             picked = segs[sel]  # (k, 2, 2)
@@ -106,6 +111,10 @@ def _room_local_segs(world, segs: np.ndarray) -> np.ndarray:
             out[r, 1, :len(sel)] = picked[:, 0, 1]
             out[r, 2, :len(sel)] = picked[:, 1, 0]
             out[r, 3, :len(sel)] = picked[:, 1, 1]
+            if seg_codes is not None:
+                codes[r, :len(sel)] = seg_codes[sel]
+    if seg_codes is not None:
+        return out, codes
     return out
 
 
@@ -190,6 +199,31 @@ class Layout:
     pvs_tri_tex_count: np.ndarray | None = None  # (L,S2) f32
     pvs_room_base: np.ndarray | None = None  # (L,R) i32 chunk base per room
     pvs_room_nchunks: np.ndarray | None = None  # (L,R) i32 chunks per room's set
+    # Procgen super-bank fields (scene/supermaze.py; None unless the env
+    # runs device-side per-reset maze generation). The bank then holds
+    # ONE layout with every wall variant; per-env episode geometry is
+    # the wall-open bitmask in EnvState.wall_open:
+    #   tri_wall: -1 = unconditional; w = rendered iff wall w CLOSED
+    #     (the closed-wall quads).
+    #   tri_jwall: -1 = unconditional; w = rendered iff wall w OPEN
+    #     (junction/gap content — floor, ceiling, side walls: a closed
+    #     wall's junction is sealed and must vanish like the
+    #     reference's never-built junction, visibly so in top views).
+    #   tri_active_base + tri_wall_onehot: the two folded into one
+    #     signed matvec. base[s] = 0 for junction tris else 1;
+    #     K[w, s] = +1 if tri_jwall[s] == w, -1 if tri_wall[s] == w,
+    #     so per-env triangle activity is
+    #     active = base + wall_open @ K (exact 0/1 in f32).
+    #   room_seg_wall: per room-local collision seg (compile.room_segs
+    #     packs), -1 = always solid; w = solid iff wall w CLOSED.
+    #   room_wall: -1 = room always exists (cells); w = the junction
+    #     room of wall w, existing (placeable) iff wall w OPEN.
+    tri_wall: np.ndarray | None = None  # (L,S) i32
+    tri_jwall: np.ndarray | None = None  # (L,S) i32
+    tri_active_base: np.ndarray | None = None  # (L,S) f32
+    tri_wall_onehot: np.ndarray | None = None  # (L,W,S) f32 signed
+    room_seg_wall: np.ndarray | None = None  # (L,R,NS) i32
+    room_wall: np.ndarray | None = None  # (L,R) i32
 
     def pad_to(self, sizes: dict) -> "Layout":
         """Pad all leading dims to the given sizes (keys: S,W,R,V,P,E,C,T)."""
@@ -361,6 +395,54 @@ def _room_block_order(rooms) -> list:
     return order
 
 
+def pack_tri_attrs(tri_verts, tri_uv, tri_normal, tri_color, tri_tex) -> np.ndarray:
+    """Packed render attribute rows: [A(6) | b(2) | normal(3) |
+    color(3) | slot | one]. (A, b) is the triangle's affine texture map
+    uv = A @ p + b for points p on its plane, so the renderer derives
+    UVs from the hit point instead of selecting per-pixel barycentrics
+    (two (pixels x chunk) lane reductions per chunk — measured 19ms/step
+    at 1024 envs). The trailing ones column lets the attribute-resolve
+    matmul also return the one-hot row sum for free (exact-tie
+    normalization)."""
+    S = tri_verts.shape[0]
+    v0 = tri_verts[:, 0].astype(np.float64)
+    e1 = tri_verts[:, 1].astype(np.float64) - v0
+    e2 = tri_verts[:, 2].astype(np.float64) - v0
+    uv0 = tri_uv[:, 0, :].astype(np.float64)
+    duv1 = tri_uv[:, 1, :].astype(np.float64) - uv0
+    duv2 = tri_uv[:, 2, :].astype(np.float64) - uv0
+    l11 = np.sum(e1 * e1, axis=1)
+    l22 = np.sum(e2 * e2, axis=1)
+    l12 = np.sum(e1 * e2, axis=1)
+    den = np.maximum(l11 * l22 - l12 * l12, 1e-18)
+    gu = (l22[:, None] * e1 - l12[:, None] * e2) / den[:, None]
+    gv = (l11[:, None] * e2 - l12[:, None] * e1) / den[:, None]
+    a_map = duv1[:, :, None] * gu[:, None, :] + duv2[:, :, None] * gv[:, None, :]
+    b_map = uv0 - np.einsum("tij,tj->ti", a_map, v0)
+    tri_attr = np.zeros((S, 16), dtype=np.float32)
+    tri_attr[:, 0:6] = a_map.reshape(S, 6)
+    tri_attr[:, 6:8] = b_map
+    tri_attr[:, 8:11] = tri_normal
+    tri_attr[:, 11:14] = tri_color
+    tri_attr[:, 14] = tri_tex.astype(np.float32)
+    tri_attr[:, 15] = 1.0
+    return tri_attr
+
+
+def tex_base_count(tri_tex, tex_slots):
+    """Per-tri atlas base / variant count (static): lets the renderer
+    resolve per-episode texture-variant randomization with pure per-tri
+    arithmetic (state.tri_slots) instead of a slot-table lookup —
+    per-(room, role) slots made that table 3x#rooms wide and a
+    per-pixel slot one-hot over it was a 22 GB intermediate."""
+    slot_base = np.array([b for b, _ in tex_slots] or [0], np.int64)
+    slot_count = np.array([c for _, c in tex_slots] or [1], np.int64)
+    safe_tex = np.clip(tri_tex, 0, len(tex_slots) - 1 if tex_slots else 0)
+    tri_tex_base = np.where(tri_tex >= 0, slot_base[safe_tex], -1).astype(np.float32)
+    tri_tex_count = np.where(tri_tex >= 0, slot_count[safe_tex], 1).astype(np.float32)
+    return tri_tex_base, tri_tex_count
+
+
 def compile_world(world: World, with_pvs: bool = False) -> Layout:
     """Compile a built World into a Layout (natural, unpadded sizes).
 
@@ -423,46 +505,8 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
     else:
         room_pvs = np.ones((len(world.rooms), len(world.rooms)), dtype=bool)
 
-    # packed render attributes: [A(6) | b(2) | normal(3) | color(3) |
-    # slot | one]. (A, b) is the triangle's affine texture map
-    # uv = A @ p + b for points p on its plane, so the renderer
-    # derives UVs from the hit point instead of selecting per-pixel
-    # barycentrics (two (pixels x chunk) lane reductions per chunk —
-    # measured 19ms/step at 1024 envs). The trailing ones column lets
-    # the attribute-resolve matmul also return the one-hot row sum for
-    # free (exact-tie normalization).
-    v0 = tri_verts[:, 0].astype(np.float64)
-    e1 = tri_verts[:, 1].astype(np.float64) - v0
-    e2 = tri_verts[:, 2].astype(np.float64) - v0
-    uv0 = tri_uv[:, 0, :].astype(np.float64)
-    duv1 = tri_uv[:, 1, :].astype(np.float64) - uv0
-    duv2 = tri_uv[:, 2, :].astype(np.float64) - uv0
-    l11 = np.sum(e1 * e1, axis=1)
-    l22 = np.sum(e2 * e2, axis=1)
-    l12 = np.sum(e1 * e2, axis=1)
-    den = np.maximum(l11 * l22 - l12 * l12, 1e-18)
-    gu = (l22[:, None] * e1 - l12[:, None] * e2) / den[:, None]
-    gv = (l11[:, None] * e2 - l12[:, None] * e1) / den[:, None]
-    a_map = duv1[:, :, None] * gu[:, None, :] + duv2[:, :, None] * gv[:, None, :]
-    b_map = uv0 - np.einsum("tij,tj->ti", a_map, v0)
-    tri_attr = np.zeros((S, 16), dtype=np.float32)
-    tri_attr[:, 0:6] = a_map.reshape(S, 6)
-    tri_attr[:, 6:8] = b_map
-    tri_attr[:, 8:11] = tri_normal
-    tri_attr[:, 11:14] = tri_color
-    tri_attr[:, 14] = tri_tex.astype(np.float32)
-    tri_attr[:, 15] = 1.0
-
-    # Per-tri atlas base / variant count (static): lets the renderer
-    # resolve per-episode texture-variant randomization with pure
-    # per-tri arithmetic (state.tri_slots) instead of a slot-table
-    # lookup — per-(room, role) slots made that table 3x#rooms wide
-    # and a per-pixel slot one-hot over it was a 22 GB intermediate.
-    slot_base = np.array([b for b, _ in world.tex_slots] or [0], np.int64)
-    slot_count = np.array([c for _, c in world.tex_slots] or [1], np.int64)
-    safe_tex = np.clip(tri_tex, 0, len(world.tex_slots) - 1 if world.tex_slots else 0)
-    tri_tex_base = np.where(tri_tex >= 0, slot_base[safe_tex], -1).astype(np.float32)
-    tri_tex_count = np.where(tri_tex >= 0, slot_count[safe_tex], 1).astype(np.float32)
+    tri_attr = pack_tri_attrs(tri_verts, tri_uv, tri_normal, tri_color, tri_tex)
+    tri_tex_base, tri_tex_count = tex_base_count(tri_tex, world.tex_slots)
 
     segs = world._wall_segs.astype(np.float32)
     seg_mask = np.ones(segs.shape[0], dtype=bool)

@@ -54,6 +54,13 @@ class EnvState:
     # domain_rand is off (draws are then forced to variant 0).
     tri_slots: jax.Array
 
+    # Procgen episode geometry (device-side per-reset maze generation,
+    # ops/mazegen.py): (W,) f32 wall-open bitmask, or None for env
+    # classes without procedural wall state. The render scan, physics
+    # seg masking and placement weights all derive per-env activity
+    # from this one vector (scene/supermaze.py).
+    wall_open: Any = None
+
     # env-specific task state (dict pytree; static structure per class)
     task: Any = struct.field(default_factory=dict)
 

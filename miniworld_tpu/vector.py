@@ -46,6 +46,9 @@ _TRI_FIELDS = (
     # slice room-local (4, NS) packs from the bank instead (the full
     # per-env (W, 2, 2) gather forced 13 ms/step layout copies on maze)
     "segs", "seg_mask", "room_segs",
+    # procgen super-bank fields stay bank-indexed too
+    "tri_wall", "tri_jwall", "tri_active_base", "tri_wall_onehot",
+    "room_seg_wall",
 )
 
 
@@ -79,6 +82,37 @@ def build_bank(spec: EnvSpec, bank_seed: int = 0, tex_mode: str = "fourier",
     sizes = natural_sizes(layouts)
     if min_sizes:
         sizes = {k: max(v, min_sizes.get(k, 0)) for k, v in sizes.items()}
+    if tex_mode == "fourier":
+        tex_np = catalog.build_fourier(fourier_k)
+    else:
+        tex_np = catalog.build_atlas()
+    return bank_np, tex_np, sizes
+
+
+def build_super_bank(spec: EnvSpec, tex_mode: str = "fourier",
+                     fourier_k: int | None = None):
+    """Compile the spec's maze grid into a procgen super bank.
+
+    One layout containing every wall variant (scene/supermaze.py);
+    per-env episode geometry is generated ON DEVICE at reset
+    (ops/mazegen.gen_walls) as a wall-open bitmask. Returns
+    (bank, tex table, sizes dict) like build_bank.
+    """
+    from miniworld_tpu.ops import mazegen
+    from miniworld_tpu.scene.compile import natural_sizes
+    from miniworld_tpu.scene.supermaze import (
+        compile_super_maze, finalize_super_bank,
+    )
+
+    if fourier_k is None:
+        fourier_k = getattr(spec, "fourier_k", 0) or FOURIER_TERMS
+    catalog = TextureCatalog()
+    lay = compile_super_maze(spec, catalog)
+    bank_np = stack_layouts([lay])
+    bank_np = finalize_super_bank(
+        bank_np, lay, mazegen.num_walls(spec.num_rows, spec.num_cols)
+    )
+    sizes = natural_sizes([lay])
     if tex_mode == "fourier":
         tex_np = catalog.build_fourier(fourier_k)
     else:
@@ -149,6 +183,12 @@ def _repad_for_chunks(bank_np: Layout, chunk: int) -> Layout:
         widths[axis] = (0, pad)
         return np.pad(arr, widths, constant_values=fill)
 
+    extra = {}
+    if bank_np.tri_wall is not None:
+        extra["tri_wall"] = p(bank_np.tri_wall, 1, -1)
+        extra["tri_jwall"] = p(bank_np.tri_jwall, 1, -1)
+        extra["tri_active_base"] = p(bank_np.tri_active_base, 1, 1.0)
+        extra["tri_wall_onehot"] = p(bank_np.tri_wall_onehot, 2, 0.0)
     return _dc.replace(
         bank_np,
         tri_verts=p(bank_np.tri_verts, 1, 0.0),
@@ -163,6 +203,7 @@ def _repad_for_chunks(bank_np: Layout, chunk: int) -> Layout:
         tri_mask=p(bank_np.tri_mask, 1, False),
         tri_room=p(bank_np.tri_room, 1, -2),
         tri_is_room=p(bank_np.tri_is_room, 1, False),
+        **extra,
     )
 
 
@@ -383,6 +424,7 @@ class MiniWorldVec:
         fourier_k: int | None = None,
         render_backend: str = "auto",
         supersample: int = 1,
+        procgen: bool = False,
     ):
         if isinstance(spec, str):
             from miniworld_tpu.envs import make_spec
@@ -457,9 +499,27 @@ class MiniWorldVec:
                 "measured config (PERF.md); only 'xla'/'auto' remain"
             )
         self.render_backend = render_backend
-        bank_np, tex_np, self._bank_sizes = build_bank(
-            spec, bank_seed, tex_mode, fourier_k
-        )
+        # Procgen mode: a fresh recursive-backtracker maze is generated
+        # ON DEVICE at every reset (reference reset semantics,
+        # miniworld/envs/maze.py:100-149) instead of cycling a compiled
+        # layout bank. The bank becomes ONE super layout with every
+        # wall variant; per-env geometry is the wall-open bitmask in
+        # EnvState.wall_open (scene/supermaze.py, ops/mazegen.py).
+        self.procgen = bool(procgen)
+        if self.procgen:
+            if not all(hasattr(spec, a) for a in
+                       ("num_rows", "num_cols", "room_size", "gap_size")):
+                raise ValueError(
+                    f"procgen=True needs a maze-grid spec (num_rows/"
+                    f"num_cols/room_size/gap_size); {spec.name} has none"
+                )
+            bank_np, tex_np, self._bank_sizes = build_super_bank(
+                spec, tex_mode, fourier_k
+            )
+        else:
+            bank_np, tex_np, self._bank_sizes = build_bank(
+                spec, bank_seed, tex_mode, fourier_k
+            )
         self._install_bank(bank_np, tex_np, fresh=True)
 
         if spec.discrete_actions is not None:
@@ -664,6 +724,9 @@ class MiniWorldVec:
         unbounded over time: each refresh swaps in ``num_layouts`` new
         layouts built from ``SeedSequence(bank_seed)``.
 
+        Procgen mode already regenerates geometry every reset on
+        device, so a refresh is a documented no-op there.
+
         The new bank is padded to the previous bank's shapes and reuses
         its culling plan (same chunk size/schedule), so when shapes are
         stable — they are for Maze, whose triangle/segment counts are
@@ -673,6 +736,8 @@ class MiniWorldVec:
         boundaries (auto-reset makes mid-episode swaps safe, just
         discontinuous).
         """
+        if self.procgen:
+            return  # every reset already generates a fresh maze
         self.install_bank(self.prepare_bank(bank_seed))
 
     # -- param sampling ----------------------------------------------------
@@ -698,6 +763,28 @@ class MiniWorldVec:
         else:
             layout_id = jnp.int32(0)
         lay = lay_view(bank, layout_id)
+
+        # Procgen: generate this episode's maze on device — a fresh
+        # wall-open bitmask per reset (reference reset semantics,
+        # miniworld/envs/maze.py:100-149). Placement sees it as junction
+        # room weights (closed-wall junctions don't exist,
+        # miniworld/miniworld.py:957-963) + gated collision segments.
+        wall_open = None
+        room_weight = None
+        seg_gate = None
+        if self.procgen:
+            from miniworld_tpu.ops import mazegen
+
+            wall_open = mazegen.gen_walls(
+                ks[11], self.spec.num_rows, self.spec.num_cols
+            )
+            rw = lay.room_wall  # (R,) i32: -1 = cell, w = junction of w
+            w_oh = (
+                rw[:, None]
+                == jnp.arange(wall_open.shape[0], dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            room_weight = jnp.where(rw < 0, 1.0, w_oh @ wall_open)
+            seg_gate = (bank.room_seg_wall, wall_open)
 
         E = self.num_ent_slots
         # prototype choice per slot
@@ -753,6 +840,7 @@ class MiniWorldVec:
                 ent_radius[e],
                 ent_pos[:, jnp.array([0, 2])], ent_radius, placed,
                 budget=self.place_budget,
+                room_weight=room_weight, seg_gate=seg_gate,
             )
             valid = lay.slot_mask[e]
             ent_pos = ent_pos.at[e].set(jnp.where(valid, pos, 0.0))
@@ -779,6 +867,7 @@ class MiniWorldVec:
             jnp.float32(spec.agent_radius),
             ent_pos[:, jnp.array([0, 2])], ent_radius, placed,
             budget=self.place_budget,
+            room_weight=room_weight, seg_gate=seg_gate,
         )
 
         # per-episode params (reset consumption; miniworld.py:586-599)
@@ -825,7 +914,8 @@ class MiniWorldVec:
             step_count=jnp.int32(0), rng=ks[9], layout_id=layout_id,
             sky_color=sky_color, light_pos=light_pos,
             light_color=light_color, light_ambient=light_ambient,
-            tex_map=tex_map, tri_slots=tkey, task=task,
+            tex_map=tex_map, tri_slots=tkey, wall_open=wall_open,
+            task=task,
         )
         return spec.post_reset(lay, state, ks[10])
 
@@ -855,6 +945,13 @@ class MiniWorldVec:
         segs4 = jax.lax.dynamic_slice(
             bank.room_segs, (state.layout_id, room, 0, 0), (1, 1, 4, ns)
         )[0, 0]
+        if self.procgen:
+            # open walls' closed-quad segments stop colliding this
+            # episode (codes -1 = always solid)
+            codes = jax.lax.dynamic_slice(
+                bank.room_seg_wall, (state.layout_id, room, 0), (1, 1, ns)
+            )[0, 0]
+            segs4 = place_ops.gate_segs4(segs4, codes, state.wall_open)
 
         if spec.override_physics:
             action_vec = jnp.zeros(6, jnp.float32)
@@ -930,6 +1027,7 @@ class MiniWorldVec:
             pvs_packed=self._pvs_packed,
             domain_rand=self.domain_rand,
             supersample=self.supersample,
+            procgen=self.procgen,
         )
         return self._wrap_obs_one(rgb, depth, state)
 

@@ -57,7 +57,8 @@ def bench_vector(args):
 
     env = MiniWorldVec(args.env_name, num_envs=args.num_envs,
                        obs_width=args.obs_width, obs_height=args.obs_height,
-                       domain_rand=args.domain_rand)
+                       domain_rand=args.domain_rand,
+                       procgen=getattr(args, "procgen", False))
     state, obs = env.reset(jax.random.key(0))
     t0 = time.perf_counter()
     state, obs, outs = env.rollout(state, obs, jax.random.key(1), args.horizon)
@@ -95,6 +96,9 @@ def main():
     p.add_argument("--obs-width", type=int, default=80)
     p.add_argument("--obs-height", type=int, default=60)
     p.add_argument("--domain-rand", action="store_true")
+    p.add_argument("--procgen", action="store_true",
+                   help="maze-grid envs: device-side per-reset "
+                        "generation instead of a layout bank")
     args = p.parse_args()
     if args.mode == "single":
         bench_single(args)
