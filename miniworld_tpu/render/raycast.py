@@ -329,11 +329,18 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         # attribute resolve: (TC, HW)^T @ (TC, 16) — MXU, no gather.
         # (A no-hit pixel selects row 0's attrs; its key stays 0 so the
         # carry never takes them, and the final t is inf -> sky.)
+        # The result is carried in bf16: XLA already feeds the attr
+        # operand to the MXU as bf16 (default f32 matmul precision on
+        # TPU), and the one-hot contraction of a single row makes the
+        # f32 accumulator value exactly bf16-representable — so the
+        # downcast is bit-lossless vs today's pipeline while HALVING
+        # the (B, HW, 16) carry/select/divide HBM streams (profiled at
+        # ~6.7 ms of Hallway's 16.5 ms step, PERF.md round 4).
         sel = jax.lax.dot_general(
             ohf, attrs,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (HW, 16)
+        ).astype(jnp.bfloat16)  # (HW, 16)
 
         # Key comparison across chunks keeps the SINGLE winner (the
         # packed index makes keys unique per pixel; a repeat-sentinel
@@ -347,7 +354,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
     if init is None:
         init = (
             jnp.zeros(hw, jnp.int32),  # key 0 = no hit (t = inf)
-            jnp.zeros((hw, ATTR_DIM), jnp.float32),
+            jnp.zeros((hw, ATTR_DIM), jnp.bfloat16),
         )
     else:
         # seeds arrive in t-space (the mesh-entity pass); 1/inf == 0.
@@ -360,7 +367,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
              & ~_IDX_MASK) | _IDX_MASK,
             0,
         )
-        init = (seed_key, init[1])
+        init = (seed_key, init[1].astype(jnp.bfloat16))
     # Chunk data is gathered BEFORE the scan (vmapped read_chunk) and
     # fed as scan xs: the scan then unstacks plain slices instead of
     # issuing per-iteration dynamic slices whose scalar offsets stall
@@ -371,12 +378,38 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         assert chunk_sched is None, "tri_active requires a dense scan"
         xs = (*xs, tri_active.reshape(n_chunks, tri_chunk))
     (key_best, attr_best), _ = jax.lax.scan(body, init, xs)
-    attr_best = attr_best / jnp.maximum(attr_best[:, _ONE:_ONE + 1], 1.0)
+    # No tie-normalize divide: the keyed-z winner is unique per pixel
+    # (the packed row index disambiguates equal quantized depths), the
+    # mesh-pass seed arrives already normalized, and no-hit pixels stay
+    # at the all-zero init — the ones column is always exactly 0 or 1
+    # here (the divide measured ~1 ms/step of pure redundancy).
+    attr_best = attr_best.astype(jnp.float32)
     r_best = jax.lax.bitcast_convert_type(key_best & ~_IDX_MASK,
                                           jnp.float32)
     t_best = jnp.where(key_best > 0, 1.0 / jnp.maximum(r_best, 1e-30),
                        jnp.inf)
     return t_best, attr_best
+
+
+def _cos_sin_turns(phi: jax.Array):
+    """(cos, sin) of ``2*pi*phi`` via turn-wrapped minimax polynomials.
+
+    The Fourier texture model only ever needs cos/sin at integer
+    frequencies times uv, i.e. periodic in whole turns — so wrap the
+    phase to t in [-1/2, 1/2] with one round() and evaluate degree-4
+    polynomials in t^2 (~12 VPU ops for BOTH outputs). XLA:TPU's
+    cos/sin intrinsics pay general argument reduction + higher-degree
+    cores twice; this fusion was ~15% of the Hallway step (profiled,
+    PERF.md round 4). Max abs error 1.2e-4 — 16x below u8 texel
+    quantization (tested vs jnp.cos/sin in tests/test_render.py).
+    """
+    t = phi - jnp.round(phi)
+    x = t * t
+    c = (((46.31062891 * x - 82.70142833) * x + 64.7143991) * x
+         - 19.73279735) * x + 0.99997109
+    s = t * ((((33.16881029 * x - 74.67622289) * x + 81.40014212) * x
+              - 41.33325045) * x + 6.2830885)
+    return c, s
 
 
 def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
@@ -416,11 +449,13 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
         coeffs_env[:, 3:3 + 2 * k].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.bfloat16,
-    ).astype(jnp.float32)  # (HW, 2K) selected [fu | fv]
-    arg = (2.0 * math.pi) * (
-        freqs[:, :k] * uv[:, 0:1] + freqs[:, k:] * uv[:, 1:2]
-    )
-    m = jnp.concatenate([jnp.cos(arg), jnp.sin(arg)], axis=1)  # (HW, 2K)
+    )  # (HW, 2K) selected [fu | fv] — stays bf16 (small ints, exact);
+    # the materialized (B, HW, 2K) stream is half-width, upcasts happen
+    # in-register inside the consumer fusion
+    fu = freqs[:, :k].astype(jnp.float32)
+    fv = freqs[:, k:].astype(jnp.float32)
+    phi = fu * uv[:, 0:1] + fv * uv[:, 1:2]  # turns
+    m = jnp.concatenate(_cos_sin_turns(phi), axis=1)  # (HW, 2K)
     if footprint is not None:
         # Frequency-space anti-aliasing — the Fourier analog of GL's
         # trilinear mipmapping: a pixel whose uv-space footprint spans
@@ -429,7 +464,7 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
         # footprint). Kills distance moire on high-frequency textures
         # (checkerboard floors); costs ~10% of the render (a handful of
         # (HW, K) VPU ops).
-        f2 = freqs[:, :k] ** 2 + freqs[:, k:] ** 2  # (HW, K)
+        f2 = fu * fu + fv * fv  # (HW, K)
         att = 1.0 / (1.0 + (math.pi ** 2) * f2 * (footprint[:, None] ** 2))
         m = m * jnp.concatenate([att, att], axis=1)
 
@@ -445,14 +480,18 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
         3 * n_slots, 2 * k + 1
     )
     m1 = jnp.concatenate([m, jnp.ones((m.shape[0], 1), m.dtype)], axis=1)
+    # (HW, 3T) materialized half-width: the MXU already consumes m1/w
+    # as bf16, so the downcast costs <=0.4% (under a u8 texel step);
+    # the per-channel slot selection upcasts in-register
     sums = jax.lax.dot_general(
         m1, w,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (HW, 3T), channel-major
+    ).astype(jnp.bfloat16)  # (HW, 3T), channel-major
     texel = jnp.stack(
         [
-            jnp.sum(sums[:, ch * n_slots:(ch + 1) * n_slots] * oh, axis=1)
+            jnp.sum(sums[:, ch * n_slots:(ch + 1) * n_slots].astype(
+                jnp.float32) * oh, axis=1)
             for ch in range(3)
         ],
         axis=1,

@@ -41,6 +41,21 @@ def _reconstruct(packed, k, res):
     return out
 
 
+def test_cos_sin_turns_accuracy():
+    """The turn-wrapped polynomial cos/sin (raycast._cos_sin_turns)
+    matches the transcendental truth 16x below u8 texel quantization
+    over the full phase range the texture model produces."""
+    phi = jnp.asarray(np.random.default_rng(0).uniform(-300, 300, 20000),
+                      jnp.float32)
+    c, s = raycast._cos_sin_turns(phi)
+    truth_c = np.cos(2 * np.pi * np.asarray(phi, np.float64))
+    truth_s = np.sin(2 * np.pi * np.asarray(phi, np.float64))
+    # f32 phase resolution at |phi|~300 costs ~2e-4 by itself; the
+    # poly adds 1.2e-4
+    assert float(np.abs(np.asarray(c) - truth_c).max()) < 5e-4
+    assert float(np.abs(np.asarray(s) - truth_s).max()) < 5e-4
+
+
 def test_fourier_fit_reconstruction():
     """Packed-coefficient evaluation must reproduce the fit: RMSE below
     an 8x8 mip for structured textures (the GL-minified look)."""
