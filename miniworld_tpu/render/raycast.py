@@ -383,7 +383,9 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
     # mesh-pass seed arrives already normalized, and no-hit pixels stay
     # at the all-zero init — the ones column is always exactly 0 or 1
     # here (the divide measured ~1 ms/step of pure redundancy).
-    attr_best = attr_best.astype(jnp.float32)
+    # attr_best RETURNS bf16: materializing a full f32 copy for the
+    # downstream uv/shade/slot consumers measured 0.95 ms/step; mixed
+    # bf16xf32 arithmetic promotes to f32 in-register, same values.
     r_best = jax.lax.bitcast_convert_type(key_best & ~_IDX_MASK,
                                           jnp.float32)
     t_best = jnp.where(key_best > 0, 1.0 / jnp.maximum(r_best, 1e-30),
@@ -455,7 +457,7 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     fu = freqs[:, :k].astype(jnp.float32)
     fv = freqs[:, k:].astype(jnp.float32)
     phi = fu * uv[:, 0:1] + fv * uv[:, 1:2]  # turns
-    m = jnp.concatenate(_cos_sin_turns(phi), axis=1)  # (HW, 2K)
+    c, s = _cos_sin_turns(phi)  # (HW, K) each
     if footprint is not None:
         # Frequency-space anti-aliasing — the Fourier analog of GL's
         # trilinear mipmapping: a pixel whose uv-space footprint spans
@@ -466,29 +468,45 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
         # (HW, K) VPU ops).
         f2 = fu * fu + fv * fv  # (HW, K)
         att = 1.0 / (1.0 + (math.pi ** 2) * f2 * (footprint[:, None] ** 2))
-        m = m * jnp.concatenate([att, att], axis=1)
+        c, s = c * att, s * att
+    # Two half-width operand streams instead of one concatenated
+    # (HW, 2K+1): jnp.concatenate is a TPU fusion boundary, and the
+    # concat form materialized cos/sin/att as three full f32 (B, HW, K)
+    # arrays (~2 ms/step on Hallway). As two bf16 stores the whole
+    # phase+poly+AA chain fuses into their producers.
+    ca = c.astype(jnp.bfloat16)
+    sa = s.astype(jnp.bfloat16)
 
-    # W: (3T, 2K+1) channel-major rows [A_tc | B_tc | dc_tc]; the extra
-    # ones column of m folds the DC term into the same contraction, and
-    # channel-major ordering keeps the per-channel slot selection a
-    # contiguous slice (a (HW, T, 3) reshape forced a 4ms layout copy).
+    # W: (3T, K) channel-major amplitude rows; the DC term joins after
+    # the slot selection (dc_pix below) instead of riding a ones
+    # column. Channel-major ordering keeps the per-channel slot
+    # selection a contiguous slice (a (HW, T, 3) reshape forced a 4ms
+    # layout copy).
     amps = coeffs_env[:, a0:a0 + 6 * k]  # (T, 6K) = [A(3K) | B(3K)]
-    a_rows = amps[:, :3 * k].reshape(n_slots, 3, k).transpose(1, 0, 2)
-    b_rows = amps[:, 3 * k:].reshape(n_slots, 3, k).transpose(1, 0, 2)
-    dc_rows = coeffs_env[:, 0:3].T[:, :, None]  # (3, T, 1)
-    w = jnp.concatenate([a_rows, b_rows, dc_rows], axis=2).reshape(
-        3 * n_slots, 2 * k + 1
+    w_a = amps[:, :3 * k].reshape(n_slots, 3, k).transpose(1, 0, 2).reshape(
+        3 * n_slots, k
     )
-    m1 = jnp.concatenate([m, jnp.ones((m.shape[0], 1), m.dtype)], axis=1)
-    # (HW, 3T) materialized half-width: the MXU already consumes m1/w
-    # as bf16, so the downcast costs <=0.4% (under a u8 texel step);
-    # the per-channel slot selection upcasts in-register
-    sums = jax.lax.dot_general(
-        m1, w,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    w_b = amps[:, 3 * k:].reshape(n_slots, 3, k).transpose(1, 0, 2).reshape(
+        3 * n_slots, k
+    )
+    sums = (
+        jax.lax.dot_general(
+            ca, w_a.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            sa, w_b.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     ).astype(jnp.bfloat16)  # (HW, 3T), channel-major
-    texel = jnp.stack(
+    dc_pix = jax.lax.dot_general(
+        oh, coeffs_env[:, 0:3],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HW, 3)
+    texel = dc_pix + jnp.stack(
         [
             jnp.sum(sums[:, ch * n_slots:(ch + 1) * n_slots].astype(
                 jnp.float32) * oh, axis=1)
@@ -706,7 +724,11 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (HW, ATTR_DIM)
-    sel = sel / jnp.maximum(sel[:, _ONE:_ONE + 1], 1.0)
+    # real ties possible here (coincident mesh rows at identical r):
+    # normalize by the ones column, then hand the seed to the chunk
+    # scan half-width (divide + downcast fuse into the dot epilogue —
+    # the f32 materialization measured ~1.9 ms/step on Hallway)
+    sel = (sel / jnp.maximum(sel[:, _ONE:_ONE + 1], 1.0)).astype(jnp.bfloat16)
     return t_min, sel
 
 
@@ -986,7 +1008,7 @@ def render_rgbd(
         # texture map's scale (norm of the affine rows)
         pix_angle = jnp.tan(jnp.deg2rad(state.cam_fov_y) * 0.5) * (2.0 / height)
         amap_scale = jnp.sqrt(
-            jnp.sum(attr[:, 0:6] ** 2, axis=1) * 0.5
+            jnp.sum(attr[:, 0:6].astype(jnp.float32) ** 2, axis=1) * 0.5
         )
         footprint = t_uv * pix_angle * amap_scale
         texel = eval_fourier(
