@@ -152,7 +152,7 @@ def hash01(key: jax.Array, ids: jax.Array) -> jax.Array:
 def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
               tri_chunk: int, slot_key=None, tex_banks=None,
               dr_active: bool = False, chunk_sched=None,
-              init=None, tri_active=None):
+              init=None, tri_active=None, chunk_rows=None):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
     ``verts9_bank`` (L, 9, S) and ``attr_bank`` (L, S, ATTR_DIM) are the
@@ -206,7 +206,33 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         No mask read: padding triangles are all-zero by construction,
         so det == 0 and they can never hit (the per-chunk mask slice
         measured 4 ms/step on maze for pure redundancy).
+
+        ``chunk_rows`` = (v9_rows (L*NC, 9*TC), attr_rows
+        (L*NC, TC*ATTR_DIM), n_chunks_per_layout): read the chunk with
+        ONE one-hot MXU matmul per operand instead of a per-env
+        dynamic_slice — vmapped dynamic slices over the layout axis
+        lower as while-loop gathers (measured 4.5 ms/step on Maze's
+        packed banks). HIGHEST precision keeps f32 vertex coordinates
+        (and nearest-mode slot ids) exact through the dot.
         """
+        if chunk_rows is not None:
+            assert slot_key is None, "chunk_rows excludes the dr override"
+            v9_rows, attr_rows, ncl = chunk_rows
+            oh = (jnp.arange(v9_rows.shape[0], dtype=jnp.int32)
+                  == layout_id * ncl + c).astype(jnp.float32)
+            v9 = jax.lax.dot_general(
+                oh[None, :], v9_rows,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )[0].reshape(9, tri_chunk)
+            attrs = jax.lax.dot_general(
+                oh[None, :], attr_rows,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )[0].reshape(tri_chunk, ATTR_DIM)
+            return v9, attrs
         start = c * tri_chunk
         v9 = jax.lax.dynamic_slice(
             verts9_bank, (layout_id, 0, start), (1, 9, tri_chunk)
@@ -963,6 +989,13 @@ def render_rgbd(
     # the slot column stays the slot id, resolved through tex_map in
     # eval_nearest.
     use_key = tex["mode"] == "fourier" and domain_rand
+    chunk_rows = None
+    if pvs_packed and bank.pvs_v9_rows is not None and not use_key:
+        # one-hot MXU chunk read (see _tri_pass.read_chunk); the
+        # dr-override path still slices pvs_tri_tex* itself, so it
+        # keeps the dynamic_slice read
+        ncl = bank.pvs_v9_rows.shape[0] // bank.pvs_verts9.shape[0]
+        chunk_rows = (bank.pvs_v9_rows, bank.pvs_attr_rows, ncl)
     tri_active = None
     if procgen:
         # (S,) f32, exact 0/1: active = base + open @ K (signed K:
@@ -977,6 +1010,7 @@ def render_rgbd(
         tex_banks=tex_banks if use_key else None,
         dr_active=domain_rand,
         chunk_sched=sched, init=seed, tri_active=tri_active,
+        chunk_rows=chunk_rows,
     )
     has_analytic = shapes_present[0] or shapes_present[1]
     if has_analytic:

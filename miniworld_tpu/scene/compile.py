@@ -199,6 +199,13 @@ class Layout:
     pvs_tri_tex_count: np.ndarray | None = None  # (L,S2) f32
     pvs_room_base: np.ndarray | None = None  # (L,R) i32 chunk base per room
     pvs_room_nchunks: np.ndarray | None = None  # (L,R) i32 chunks per room's set
+    # Chunk-row views of the packed banks (vector._install_bank):
+    # row layout*NC + c holds chunk c of that layout, flattened — the
+    # render scan reads its per-env chunk with ONE one-hot MXU matmul
+    # instead of a vmapped dynamic_slice (which XLA lowers as a
+    # while-loop gather over layouts, measured 4.5 ms/step on Maze).
+    pvs_v9_rows: np.ndarray | None = None  # (L*NC, 9*k) f32
+    pvs_attr_rows: np.ndarray | None = None  # (L*NC, k*ATTR_DIM) f32
     # Procgen super-bank fields (scene/supermaze.py; None unless the env
     # runs device-side per-reset maze generation). The bank then holds
     # ONE layout with every wall variant; per-env episode geometry is

@@ -649,6 +649,25 @@ class MiniWorldVec:
                 pa[:, :, 14] = bank_np.pvs_tri_tex_base
                 repl["pvs_attr"] = pa
             bank_np = _dc.replace(bank_np, **repl)
+        if self._pvs_packed:
+            # Chunk-row views for the one-hot chunk read (built AFTER
+            # the attr-slot baking above so rows match what a
+            # dynamic_slice would see). f32 + HIGHEST-precision dot in
+            # the scan keeps vertex coordinates and (nearest-mode)
+            # slot ids exact.
+            L, _, S2 = bank_np.pvs_verts9.shape
+            k = self.tri_chunk
+            nc = S2 // k
+            v9r = np.ascontiguousarray(
+                bank_np.pvs_verts9.reshape(L, 9, nc, k)
+                .transpose(0, 2, 1, 3).reshape(L * nc, 9 * k)
+            )
+            atr = np.ascontiguousarray(
+                bank_np.pvs_attr.reshape(L, nc, k, -1).reshape(L * nc, -1)
+            )
+            bank_np = _dc.replace(
+                bank_np, pvs_v9_rows=v9r, pvs_attr_rows=atr
+            )
         self._bank_np = bank_np
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
