@@ -60,12 +60,19 @@ FAR = 100.0
 # never overrides it, so it contributes to every lit fragment.
 GL_GLOBAL_AMBIENT = 0.2
 
-# Packed per-triangle attribute row (Layout.tri_attr):
-#   [A(6) | b(2) | normal(3) | color(3) | tex_slot(1) | one]
-# (A, b) is the triangle's affine texture map uv = A @ p + b.
+# Packed per-primitive attribute row (Layout.tri_attr):
+#   [A(6) | b(2) | normal(3) | color(3) | tex_slot(1) | kind]
+# (A, b) is the prim's affine texture map uv = A @ p + b. ``kind``
+# (scene/room.TriBatch.kinds) selects the coverage test: 1.0 =
+# triangle (u + v <= det), 0.0 = parallelogram (u <= det AND
+# v <= det) — rect quads render as ONE prim, halving the hit-test
+# fusion's rows (the reference draws GL_QUADS, miniworld.py:330-400).
+# Dynamic mesh-entity rows keep a literal ones column there
+# (all triangles; _entity_mesh_pass normalizes real ties by it).
 ATTR_DIM = 16
 _AMAP, _BMAP = slice(0, 6), slice(6, 8)
-_NRM, _COL, _SLOT, _ONE = slice(8, 11), slice(11, 14), 14, 15
+_NRM, _COL, _SLOT, _KIND = slice(8, 11), slice(11, 14), 14, 15
+_ONE = _KIND  # mesh-entity rows: same column, literal 1.0
 
 # Bits of the z-key's mantissa that carry the winning within-chunk row
 # index (see _tri_pass): caps tri_chunk at 1024 rows and quantizes the
@@ -326,11 +333,20 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
 
         # det > 0 <=> front-facing (GL_CULL_FACE; miniworld.py:513)
         r = det * inv_tnum[:, None]  # = 1/t
+        # Kind-blended coverage: triangles (kind 1) need
+        # u + v <= det — max + 1.0*min adds the SAME two floats, so
+        # the tri path is bit-identical to the former u_num + v_num;
+        # parallelograms (kind 0) need max(u, v) <= det.
+        kind = attrs[:, _KIND:_KIND + 1]  # (TC, 1)
+        cov = (
+            jnp.maximum(u_num, v_num)
+            + kind * jnp.minimum(u_num, v_num)
+        )
         hit = (
             (det > 1e-12)
             & (u_num >= 0.0)
             & (v_num >= 0.0)
-            & (u_num + v_num <= det)
+            & (cov <= det)
             & (r < 1.0 / NEAR)
             & (r > 1.0 / FAR)
         )

@@ -191,17 +191,26 @@ def _tri_pass_ortho(bank, layout_id, origins, dirs, tri_active=None):
         t = t_num * inv_den[None, :]
         u = u_num * inv_det[None, :]
         v = v_num * inv_det[None, :]
+        # kind-blended coverage (raycast._tri_pass): triangles need
+        # u + v <= 1, parallelogram prims max(u, v) <= 1
+        kind = attrs[None, :, raycast._KIND]
+        cov = jnp.maximum(u, v) + kind * jnp.minimum(u, v)
         hit = (
             (det > 1e-12)
-            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (u >= 0.0) & (v >= 0.0) & (cov <= 1.0)
             & (t > 0.0) & (t < raycast.FAR)
             & mask[None, :]
         )
         t = jnp.where(hit, t, jnp.inf)
         t_min = jnp.min(t, axis=1)
-        ohf = ((t == t_min[:, None]) & hit).astype(jnp.float32)
+        # unique winner (first index at the min): prim kinds repurposed
+        # the attr ones column, so tie-sum normalization is no longer
+        # available — argmin tie-breaks deterministically instead
+        win = jnp.argmin(t, axis=1)
+        ohf = (
+            jnp.arange(t.shape[1])[None, :] == win[:, None]
+        ).astype(jnp.float32)
         sel = ohf @ attrs
-        sel = sel / jnp.maximum(sel[:, raycast._ONE:raycast._ONE + 1], 1.0)
         closer = t_min < t_best
         return (
             jnp.where(closer, t_min, t_best),

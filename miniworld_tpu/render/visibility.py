@@ -65,6 +65,9 @@ def _room_depth(bank, layout_id, origin, dirs, tri_chunk: int = 128,
                 jax.lax.dynamic_slice(tri_active, (start,), (tri_chunk,))
                 > 0.5
             )
+        kind = jax.lax.dynamic_slice(
+            bank.tri_attr, (layout_id, start, 0), (1, tri_chunk, 16)
+        )[0, :, 15]
         v0 = verts[:, 0]
         e1 = verts[:, 1] - v0
         e2 = verts[:, 2] - v0
@@ -78,11 +81,16 @@ def _room_depth(bank, layout_id, origin, dirs, tri_chunk: int = 128,
         v_num = dirs @ g_v.T
         inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
         t = t_num[None, :] * inv_det
+        # kind-blended coverage (raycast._tri_pass): tri prims need
+        # u + v <= det, parallelogram prims max(u, v) <= det
+        cov = jnp.maximum(u_num, v_num) + kind[None, :] * jnp.minimum(
+            u_num, v_num
+        )
         hit = (
             (det > 1e-12)
             & (u_num >= 0.0)
             & (v_num >= 0.0)
-            & (u_num + v_num <= det)
+            & (cov <= det)
             & (t > NEAR) & (t < FAR)
             & mask[None, :]
         )

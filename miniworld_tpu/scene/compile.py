@@ -402,15 +402,16 @@ def _room_block_order(rooms) -> list:
     return order
 
 
-def pack_tri_attrs(tri_verts, tri_uv, tri_normal, tri_color, tri_tex) -> np.ndarray:
+def pack_tri_attrs(tri_verts, tri_uv, tri_normal, tri_color, tri_tex,
+                   tri_kind=None) -> np.ndarray:
     """Packed render attribute rows: [A(6) | b(2) | normal(3) |
-    color(3) | slot | one]. (A, b) is the triangle's affine texture map
+    color(3) | slot | kind]. (A, b) is the prim's affine texture map
     uv = A @ p + b for points p on its plane, so the renderer derives
     UVs from the hit point instead of selecting per-pixel barycentrics
     (two (pixels x chunk) lane reductions per chunk — measured 19ms/step
-    at 1024 envs). The trailing ones column lets the attribute-resolve
-    matmul also return the one-hot row sum for free (exact-tie
-    normalization)."""
+    at 1024 envs). The trailing column is the primitive kind
+    (TriBatch.kinds: 1.0 triangle, 0.0 parallelogram; padding rows 0
+    never hit because their verts are degenerate)."""
     S = tri_verts.shape[0]
     v0 = tri_verts[:, 0].astype(np.float64)
     e1 = tri_verts[:, 1].astype(np.float64) - v0
@@ -432,7 +433,9 @@ def pack_tri_attrs(tri_verts, tri_uv, tri_normal, tri_color, tri_tex) -> np.ndar
     tri_attr[:, 8:11] = tri_normal
     tri_attr[:, 11:14] = tri_color
     tri_attr[:, 14] = tri_tex.astype(np.float32)
-    tri_attr[:, 15] = 1.0
+    tri_attr[:, 15] = (
+        1.0 if tri_kind is None else np.asarray(tri_kind, np.float32)
+    )
     return tri_attr
 
 
@@ -471,6 +474,7 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
     all_normals = tri.normals + world.static_tris.normals
     all_tex = tri.tex_slots + world.static_tris.tex_slots
     all_colors = tri.colors + world.static_tris.colors
+    all_kinds = tri.kinds + world.static_tris.kinds
 
     S = len(all_verts)
     tri_verts = np.asarray(all_verts, dtype=np.float32).reshape(S, 3, 3)
@@ -478,6 +482,7 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
     tri_normal = np.asarray(all_normals, dtype=np.float32).reshape(S, 3)
     tri_tex = np.asarray(all_tex, dtype=np.int32)
     tri_color = np.asarray(all_colors, dtype=np.float32).reshape(S, 3)
+    tri_kind = np.asarray(all_kinds, dtype=np.float32)
     tri_mask = np.ones(S, dtype=bool)
 
     # Per-triangle owning room, then the block permutation.
@@ -503,7 +508,7 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
     perm = np.argsort(rank[tri_room + 1], kind="stable")
     tri_verts, tri_uv, tri_normal = tri_verts[perm], tri_uv[perm], tri_normal[perm]
     tri_tex, tri_color, tri_room = tri_tex[perm], tri_color[perm], tri_room[perm]
-    tri_is_room = tri_is_room[perm]
+    tri_is_room, tri_kind = tri_is_room[perm], tri_kind[perm]
 
     if with_pvs:
         from miniworld_tpu.scene.pvs import compute_room_pvs
@@ -512,7 +517,8 @@ def compile_world(world: World, with_pvs: bool = False) -> Layout:
     else:
         room_pvs = np.ones((len(world.rooms), len(world.rooms)), dtype=bool)
 
-    tri_attr = pack_tri_attrs(tri_verts, tri_uv, tri_normal, tri_color, tri_tex)
+    tri_attr = pack_tri_attrs(tri_verts, tri_uv, tri_normal, tri_color,
+                              tri_tex, tri_kind)
     tri_tex_base, tri_tex_count = tex_base_count(tri_tex, world.tex_slots)
 
     segs = world._wall_segs.astype(np.float32)

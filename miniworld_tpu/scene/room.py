@@ -26,13 +26,25 @@ Y_VEC = np.array([0.0, 1.0, 0.0])
 
 @dataclass
 class TriBatch:
-    """Accumulates triangles with per-vertex UVs and flat normals."""
+    """Accumulates render primitives with per-vertex UVs, flat normals.
+
+    Each primitive is 3 stored vertices (v0, v1, v2); ``kinds`` says how
+    the raycaster interprets them (raycast._tri_pass):
+      1.0 -> triangle (barycentric u + v <= det),
+      0.0 -> parallelogram {v0 + a*(v1-v0) + b*(v2-v0), a,b in [0,1]}
+             (u <= det and v <= det).
+    Rect quads become ONE parallelogram prim instead of two triangles —
+    same pixels, same plane, HALF the rows in the render scan's dominant
+    hit-test fusion (profiled at ~45% of the Maze step). The reference
+    draws these as GL_QUADS too (miniworld/miniworld.py:330-400).
+    """
 
     verts: list = field(default_factory=list)  # (3,3) each
     uvs: list = field(default_factory=list)  # (3,2) each
     normals: list = field(default_factory=list)  # (3,) each
     tex_slots: list = field(default_factory=list)  # int, -1 = flat color
     colors: list = field(default_factory=list)  # (3,) each
+    kinds: list = field(default_factory=list)  # 1.0 tri / 0.0 parallelogram
 
     def add_tri(self, v, uv, normal, tex_slot, color=(1.0, 1.0, 1.0)):
         self.verts.append(np.asarray(v, dtype=np.float64))
@@ -40,18 +52,33 @@ class TriBatch:
         self.normals.append(np.asarray(normal, dtype=np.float64))
         self.tex_slots.append(int(tex_slot))
         self.colors.append(np.asarray(color, dtype=np.float64))
+        self.kinds.append(1.0)
 
     def add_quad(self, v4, uv4, normal, tex_slot, color=(1.0, 1.0, 1.0)):
-        """Quad (CCW) -> two triangles preserving winding."""
+        """Quad (CCW) -> one parallelogram prim when exact (the usual
+        case: wall spans, frames, glyphs are rectangles), else two
+        triangles preserving winding."""
         v4 = np.asarray(v4, dtype=np.float64)
         uv4 = np.asarray(uv4, dtype=np.float64)
+        if _is_parallelogram(v4, uv4):
+            self.verts.append(v4[[0, 1, 3]])
+            self.uvs.append(uv4[[0, 1, 3]])
+            self.normals.append(np.asarray(normal, dtype=np.float64))
+            self.tex_slots.append(int(tex_slot))
+            self.colors.append(np.asarray(color, dtype=np.float64))
+            self.kinds.append(0.0)
+            return
         self.add_tri(v4[[0, 1, 2]], uv4[[0, 1, 2]], normal, tex_slot, color)
         self.add_tri(v4[[0, 2, 3]], uv4[[0, 2, 3]], normal, tex_slot, color)
 
     def add_convex_fan(self, verts, uvs, normal, tex_slot, color=(1.0, 1.0, 1.0)):
-        """Convex polygon (CCW) -> triangle fan."""
+        """Convex polygon (CCW) -> one parallelogram for exact quads
+        (rect-room floors/ceilings), else a triangle fan."""
         verts = np.asarray(verts, dtype=np.float64)
         uvs = np.asarray(uvs, dtype=np.float64)
+        if len(verts) == 4 and _is_parallelogram(verts, uvs):
+            self.add_quad(verts, uvs, normal, tex_slot, color)
+            return
         for i in range(1, len(verts) - 1):
             self.add_tri(
                 verts[[0, i, i + 1]], uvs[[0, i, i + 1]], normal, tex_slot, color
@@ -63,9 +90,23 @@ class TriBatch:
         self.normals.extend(other.normals)
         self.tex_slots.extend(other.tex_slots)
         self.colors.extend(other.colors)
+        self.kinds.extend(other.kinds)
 
     def __len__(self):
         return len(self.verts)
+
+
+def _is_parallelogram(v4: np.ndarray, uv4: np.ndarray) -> bool:
+    """v2 == v1 + v3 - v0 (and affine-consistent UVs) within tolerance.
+
+    The merged prim evaluates UVs through the affine plane map fit to
+    (v0, v1, v3), so UVs must be affine across the whole quad too.
+    """
+    scale = max(1.0, float(np.abs(v4).max()))
+    if np.abs(v4[2] - (v4[1] + v4[3] - v4[0])).max() > 1e-9 * scale:
+        return False
+    uscale = max(1.0, float(np.abs(uv4).max()))
+    return np.abs(uv4[2] - (uv4[1] + uv4[3] - uv4[0])).max() <= 1e-9 * uscale
 
 
 def wall_uvs(xc: float, yc: float, min_x: float, min_y: float, width: float, height: float):

@@ -146,7 +146,7 @@ def compile_super_maze(spec, catalog) -> Layout:
     # through world's per-(room, role) cache, so a cell's closed walls
     # share its wall-texture variant draw like the reference's
     # unportaled walls would.
-    verts, uvs, normals, texs, walls_of = [], [], [], [], []
+    verts, uvs, normals, texs, walls_of, kinds = [], [], [], [], [], []
     segs_new, seg_codes_new = [], []
     eps = 1e-6
     for i in range(rows):
@@ -194,6 +194,7 @@ def compile_super_maze(spec, catalog) -> Layout:
                 normals.append(nrm)
                 texs.append(tris.tex_slots[t])
                 walls_of.append(w)
+                kinds.append(tris.kinds[t])
             for s in range(segs.shape[0]):
                 a, b = segs[s, 0], segs[s, 1]
                 if abs(a[0] - b[0]) < eps:
@@ -212,7 +213,8 @@ def compile_super_maze(spec, catalog) -> Layout:
     tri_tex_c = np.asarray(texs, np.int32)
     tri_color_c = np.ones((n_closed, 3), np.float32)
     tri_attr_c = pack_tri_attrs(
-        tri_verts_c, tri_uv_c, tri_normal_c, tri_color_c, tri_tex_c
+        tri_verts_c, tri_uv_c, tri_normal_c, tri_color_c, tri_tex_c,
+        np.asarray(kinds, np.float32),
     )
     base_c, count_c = tex_base_count(tri_tex_c, world.tex_slots)
     # The facing cell owns its closed quad (room attribution feeds

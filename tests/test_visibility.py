@@ -55,9 +55,10 @@ def _rays_np(pos, yaw, pitch_deg, cam_height, cam_fwd_disp, fov_y):
 
 
 def _room_depth_np(bank, li, origin, dirs):
-    """Front-face nearest room-triangle hit per ray, float64."""
+    """Front-face nearest room-prim hit per ray, float64."""
     sel = bank.tri_mask[li] & bank.tri_is_room[li]
     verts = bank.tri_verts[li][sel].astype(np.float64)
+    kind = bank.tri_attr[li][sel][:, 15].astype(np.float64)
     v0, e1, e2 = verts[:, 0], verts[:, 1] - verts[:, 0], verts[:, 2] - verts[:, 0]
     s = origin[None] - v0
     g_det = np.cross(e2, e1)
@@ -69,8 +70,11 @@ def _room_depth_np(bank, li, origin, dirs):
     v_num = dirs @ g_v.T
     with np.errstate(divide="ignore", invalid="ignore"):
         t = t_num[None] / det
+    # kind-blended coverage: tri prims u + v <= det, parallelogram
+    # prims max(u, v) <= det (raycast._tri_pass)
+    cov = np.maximum(u_num, v_num) + kind[None] * np.minimum(u_num, v_num)
     hit = ((det > 1e-12) & (u_num >= 0) & (v_num >= 0)
-           & (u_num + v_num <= det) & (t > 0.04) & (t < 100.0))
+           & (cov <= det) & (t > 0.04) & (t < 100.0))
     t = np.where(hit, t, np.inf)
     return t.min(axis=1)
 
