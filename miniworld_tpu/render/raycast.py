@@ -82,12 +82,16 @@ _IDX_BITS = 10
 _IDX_MASK = (1 << _IDX_BITS) - 1
 
 
-def camera_rays(state, width: int, height: int):
-    """Per-pixel ray directions (unnormalized, unit forward component).
+def camera_grid(state, width: int, height: int):
+    """Separable ray decomposition: (fwd, right, up, xv, yv) with the
+    per-pixel ray d = fwd + xv*right + yv*up (unit forward component).
 
     Matches gluPerspective(fov_y, width/height, ...) + gluLookAt with
-    the agent's camera basis. Row 0 of the output is the TOP image row
-    (the reference flips the GL readback; opengl.py:393-398).
+    the agent's camera basis; row 0 is the TOP image row (the reference
+    flips the GL readback; opengl.py:393-398). The primitive passes
+    exploit the decomposition directly: a ray-set dot g . d becomes
+    (g.fwd) + xv*(g.right) + yv*(g.up) — the three basis dots are
+    per-PRIM, leaving 2 FMAs per (prim, pixel) instead of 3.
     """
     fwd, up, right = geom.cam_basis(state.dir, state.cam_pitch)
     tan_y = jnp.tan(jnp.deg2rad(state.cam_fov_y) * 0.5)
@@ -95,13 +99,17 @@ def camera_rays(state, width: int, height: int):
 
     xs = (2.0 * (jnp.arange(width, dtype=jnp.float32) + 0.5) / width - 1.0) * tan_x
     ys = (1.0 - 2.0 * (jnp.arange(height, dtype=jnp.float32) + 0.5) / height) * tan_y
-    # (H, W, 3) = fwd + x*right + y*up
-    d = (
-        fwd[None, None, :]
-        + xs[None, :, None] * right[None, None, :]
-        + ys[:, None, None] * up[None, None, :]
+    xv = jnp.broadcast_to(xs[None, :], (height, width)).reshape(-1)
+    yv = jnp.broadcast_to(ys[:, None], (height, width)).reshape(-1)
+    return fwd, right, up, xv, yv
+
+
+def camera_rays(state, width: int, height: int):
+    """Per-pixel ray directions (HW, 3); see camera_grid."""
+    fwd, right, up, xv, yv = camera_grid(state, width, height)
+    return (
+        fwd[None, :] + xv[:, None] * right[None, :] + yv[:, None] * up[None, :]
     )
-    return d.reshape(height * width, 3)
 
 
 def room_of_point(bank, layout_id, p_xz):
@@ -156,7 +164,7 @@ def hash01(key: jax.Array, ids: jax.Array) -> jax.Array:
     return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
+def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
               tri_chunk: int, slot_key=None, tex_banks=None,
               dr_active: bool = False, chunk_sched=None,
               init=None, tri_active=None, chunk_rows=None):
@@ -205,7 +213,8 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
     num_tris = verts9_bank.shape[-1]
     tri_chunk = min(tri_chunk, num_tris)
     n_chunks = -(-num_tris // tri_chunk)
-    hw = dirs.shape[0]
+    fwd, right, up, xv, yv = rays  # camera_grid decomposition
+    hw = xv.shape[0]
 
     def read_chunk(c):
         """(v9 (9, TC), attrs (TC, ATTR_DIM)) for chunk index c.
@@ -319,12 +328,19 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, dirs,
         # a packed (3TC, 3) @ (3, HW) dot_general by 2.3x on maze (the
         # K=3 contraction can't tile the MXU; its lowering also
         # produced edge cracks — rgb diffs to 205, depth off by 40x at
-        # silhouettes). This op is at the f32 VPU roofline.
+        # silhouettes). This op is at the f32 VPU roofline — which is
+        # why the ray SEPARABILITY matters: d = fwd + xv*right + yv*up
+        # (camera_grid), so g . d = (g.fwd) + xv*(g.right) + yv*(g.up)
+        # with the three basis dots hoisted to per-TRI (TC,) work —
+        # 2 FMAs per (tri, pixel) instead of 3.
         def contract(gx, gy, gz):
+            a = gx * fwd[0] + gy * fwd[1] + gz * fwd[2]  # (TC,)
+            b = gx * right[0] + gy * right[1] + gz * right[2]
+            c = gx * up[0] + gy * up[1] + gz * up[2]
             return (
-                gx[:, None] * dirs[None, :, 0]
-                + gy[:, None] * dirs[None, :, 1]
-                + gz[:, None] * dirs[None, :, 2]
+                a[:, None]
+                + b[:, None] * xv[None, :]
+                + c[:, None] * yv[None, :]
             )
 
         det = contract(gdx, gdy, gdz)  # (TC, HW)
@@ -484,12 +500,18 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     #    (HW,2K)@(2K,3T) — lane-wise jnp.sum reductions of (HW,K)
     #    lowered pathologically (~100x) on TPU;
     #  * per-pixel slot selection of the 3T sums is a tiny masked sum.
-    oh = (slot_i[:, None] == jnp.arange(n_slots)[None, :]).astype(jnp.float32)
+    # ONE bf16 one-hot for every selection dot in this stage: with a
+    # mixed f32/bf16 consumer set XLA materialized the (B, HW, A)
+    # one-hot TWICE in f32 plus a bf16 copy (profiled at ~11% of the
+    # Maze step); all-bf16 operands collapse that to a single half-width
+    # materialization, and the MXU's default f32 precision was already
+    # converting every operand to bf16 — numerically identical.
+    oh = (slot_i[:, None] == jnp.arange(n_slots)[None, :]).astype(jnp.bfloat16)
     # frequency selection in bf16: frequencies are small integers
     # (exact in bf16 up to 256) and the half-width intermediate halves
     # the HBM traffic of this memory-bound op
     freqs = jax.lax.dot_general(
-        oh.astype(jnp.bfloat16),
+        oh,
         coeffs_env[:, 3:3 + 2 * k].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.bfloat16,
@@ -543,15 +565,36 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
             preferred_element_type=jnp.float32,
         )
     ).astype(jnp.bfloat16)  # (HW, 3T), channel-major
-    dc_pix = jax.lax.dot_general(
-        oh, coeffs_env[:, 0:3],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (HW, 3)
+    # (An optimization_barrier here — to stop the per-channel slices
+    # propagating into the amplitude dots — was measured and LOST:
+    # Hallway 114.8k -> 86.0k, Maze 45.2k -> 43.2k. XLA's split
+    # per-channel convolution form beats a forced whole-dot
+    # materialization; leave the slicing alone.)
+    if has_gain:
+        dcg = jax.lax.dot_general(
+            oh,
+            jnp.concatenate(
+                [coeffs_env[:, 0:3], coeffs_env[:, -1:]], axis=1
+            ).astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HW, 4): [dc rgb | gain]
+        dc_pix = dcg[:, 0:3]
+    else:
+        dc_pix = jax.lax.dot_general(
+            oh, coeffs_env[:, 0:3].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HW, 3)
+    # per-channel slot select: bf16 product of exact 0/1 one-hot with
+    # already-bf16 sums — the f32 upcast happens inside the reduction
     texel = dc_pix + jnp.stack(
         [
-            jnp.sum(sums[:, ch * n_slots:(ch + 1) * n_slots].astype(
-                jnp.float32) * oh, axis=1)
+            jnp.sum(
+                (sums[:, ch * n_slots:(ch + 1) * n_slots] * oh).astype(
+                    jnp.float32),
+                axis=1,
+            )
             for ch in range(3)
         ],
         axis=1,
@@ -566,14 +609,6 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     # ``has_gain`` is a static flag (any glyph row in the table) so
     # glyph-free env classes skip the extra contraction entirely.
     if has_gain:
-        dcg = jax.lax.dot_general(
-            oh,
-            jnp.concatenate(
-                [coeffs_env[:, 0:3], coeffs_env[:, -1:]], axis=1
-            ),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (HW, 4): [dc rgb | gain]
         gain = dcg[:, 3:4]
         # SDF edge half-width, in texels: the static fit width, grown
         # to HALF THE PIXEL FOOTPRINT under minification. The AA
@@ -713,14 +748,15 @@ def entity_mesh_rows(bank, layout_id, state, fourier: bool,
     return verts, attrs
 
 
-def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
+def _entity_mesh_pass(bank, layout_id, state, origin, rays, fourier: bool):
     """Intersect dynamic mesh-entity rows (entity_mesh_rows) in one
     pass — no per-entity scan, no carry selects. Returns (t (HW,),
     attr (HW, ATTR_DIM)) normalized, ready to seed the static chunk
     scan's carry (render_rgbd feeds it as the scan init, so the
     z-merge with static geometry is the scan's own closer-select —
     zero extra merge ops or layout copies)."""
-    hw = dirs.shape[0]
+    fwd, right, up, xv, yv = rays
+    hw = xv.shape[0]
     verts, attrs = entity_mesh_rows(bank, layout_id, state, fourier)
 
     v0 = verts[:, 0]
@@ -738,10 +774,14 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
     )
 
     def contract(g):
+        # separable rays, like _tri_pass: per-row basis dots (explicit
+        # FMAs — minor-axis K=3 reductions lower pathologically) + 2
+        # FMAs per (row, pixel)
+        a = g[:, 0] * fwd[0] + g[:, 1] * fwd[1] + g[:, 2] * fwd[2]
+        b = g[:, 0] * right[0] + g[:, 1] * right[1] + g[:, 2] * right[2]
+        c = g[:, 0] * up[0] + g[:, 1] * up[1] + g[:, 2] * up[2]
         return (
-            g[:, 0:1] * dirs[None, :, 0]
-            + g[:, 1:2] * dirs[None, :, 1]
-            + g[:, 2:3] * dirs[None, :, 2]
+            a[:, None] + b[:, None] * xv[None, :] + c[:, None] * yv[None, :]
         )
 
     det = contract(g_det)  # (E*M, HW)
@@ -756,141 +796,194 @@ def _entity_mesh_pass(bank, layout_id, state, origin, dirs, fourier: bool):
         & (r < 1.0 / NEAR)
         & (r > 1.0 / FAR)
     )
-    r = jnp.where(hit, r, 0.0)
-    r_max = jnp.max(r, axis=0)  # (HW,)
-    t_min = jnp.where(r_max > 0.0, 1.0 / jnp.maximum(r_max, 1e-30),
+    # Keyed z-competition, like _tri_pass: the winner's row index rides
+    # the low mantissa bits of r, making the winner UNIQUE per pixel —
+    # coincident-row ties resolve to the larger row index (GL z-fight
+    # ties are order-dependent too) and the tie-normalize divide plus
+    # its full f32 (B, HW, 16) materialization disappear (profiled at
+    # ~9% of the PickupObjects step).
+    assert r.shape[0] <= (1 << _IDX_BITS), r.shape
+    rkey = jax.lax.bitcast_convert_type(r, jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (r.shape[0], 1), 0)
+    key = jnp.where(hit, (rkey & ~_IDX_MASK) | idx, 0)
+    key_max = jnp.max(key, axis=0)  # (HW,)
+    ohf = (
+        (idx == (key_max & _IDX_MASK)[None, :]) & (key_max > 0)[None, :]
+    ).astype(jnp.float32)
+    r_best = jax.lax.bitcast_convert_type(key_max & ~_IDX_MASK, jnp.float32)
+    t_min = jnp.where(key_max > 0, 1.0 / jnp.maximum(r_best, 1e-30),
                       jnp.inf)
-    ohf = ((r == r_max[None, :]) & hit).astype(jnp.float32)
     sel = jax.lax.dot_general(
         ohf, attrs,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (HW, ATTR_DIM)
-    # real ties possible here (coincident mesh rows at identical r):
-    # normalize by the ones column, then hand the seed to the chunk
-    # scan half-width (divide + downcast fuse into the dot epilogue —
-    # the f32 materialization measured ~1.9 ms/step on Hallway)
-    sel = (sel / jnp.maximum(sel[:, _ONE:_ONE + 1], 1.0)).astype(jnp.bfloat16)
+    ).astype(jnp.bfloat16)  # (HW, ATTR_DIM)
     return t_min, sel
 
 
-def _entity_pass(bank, layout_id, state, origin, dirs,
+def _entity_pass(bank, layout_id, state, origin, rays,
                  shapes_present=(True, True, True)):
-    """Analytic intersection for sphere (Ball) and box entities.
+    """Analytic intersection for sphere (Ball) and box entities,
+    vectorized over the entity slots in ONE pass.
 
     Dynamic meshes render as real triangles in _entity_mesh_pass;
     boxes also join it when a world runs that pass anyway (see
     box_proto / scene/compile.py) — here the analytic OBB serves
-    box-only scenes, where it measured ~10% faster than routing 12
-    rows through the mesh machinery. Spheres stay analytic always
-    (the source ball meshes are tessellated spheres, entity.py:445-452).
-    Carries running (t, rgb, normal) buffers over the few entity slots.
+    box-only scenes. Spheres stay analytic always (the source ball
+    meshes are tessellated spheres, entity.py:445-452).
+
+    The former per-slot lax.scan carried (HW,) + 2x(HW, 3) buffers
+    through every iteration — profiled at ~27% of the PickupObjects
+    step in carry/select traffic. Now every slot's hit test runs as
+    (E, HW) broadcast work, the winner is picked with the keyed-z
+    index pack (unique, no tie handling), and the winner's normal is
+    reconstructed once per pixel from one-hot-resolved entity
+    parameters.
     """
     has_sphere, has_box, _ = shapes_present
-    hw = dirs.shape[0]
-    num_ents = state.ent_pos.shape[0]
+    fwd, right, up, xv, yv = rays
+    hw = xv.shape[0]
+    E = state.ent_pos.shape[0]
 
-    proto_shape = bank.proto_shape[layout_id]
-    proto_static = bank.proto_static[layout_id]
+    proto = state.ent_proto  # (E,)
+    shape = bank.proto_shape[layout_id][proto]
+    static = bank.proto_static[layout_id][proto]
+    active = state.ent_alive & ~static  # (E,)
+    is_sphere = shape == SHAPE_SPHERE
+    is_box = shape == SHAPE_BOX
 
-    def body(carry, e):
-        t_best, col_best, n_best = carry
-        shape = proto_shape[state.ent_proto[e]]
-        static = proto_static[state.ent_proto[e]]
-        active = state.ent_alive[e] & ~static
+    pos = state.ent_pos  # (E, 3)
+    height = state.ent_height  # (E,)
+    size = state.ent_size  # (E, 3)
 
-        pos = state.ent_pos[e]
-        direction = state.ent_dir[e]
-        size = state.ent_size[e]
-        height = state.ent_height[e]
-        color = state.ent_color[e]
+    def ray_dot(v):
+        """v . d for per-entity vectors v (E, 3) -> (E, HW), via the
+        separable ray decomposition (2 FMAs per (entity, pixel))."""
+        a = v[:, 0] * fwd[0] + v[:, 1] * fwd[1] + v[:, 2] * fwd[2]
+        b = v[:, 0] * right[0] + v[:, 1] * right[1] + v[:, 2] * right[2]
+        c = v[:, 0] * up[0] + v[:, 1] * up[1] + v[:, 2] * up[2]
+        return a[:, None] + b[:, None] * xv[None, :] + c[:, None] * yv[None, :]
 
-        # --- sphere (Ball) ---
-        if has_sphere:
-            center = pos + jnp.array([0.0, 0.5, 0.0]) * height
-            r_vis = 0.5 * height
-            oc = origin - center
-            a = jnp.sum(dirs * dirs, axis=1)
-            # matvecs lower as slow lane reductions; explicit FMAs fuse
-            b = 2.0 * (
-                dirs[:, 0] * oc[0] + dirs[:, 1] * oc[1] + dirs[:, 2] * oc[2]
-            )
-            cc = jnp.dot(oc, oc) - r_vis * r_vis
-            disc = b * b - 4.0 * a * cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_sph = (-b - sq) / (2.0 * a)
-            sph_hit = (disc > 0.0) & (t_sph > NEAR) & (t_sph < FAR)
-            p_sph = origin[None, :] + t_sph[:, None] * dirs
-            n_sph = (p_sph - center) / r_vis
-        else:
-            t_sph = jnp.full(hw, jnp.inf, jnp.float32)
-            sph_hit = jnp.zeros(hw, bool)
-            n_sph = jnp.zeros((hw, 3), jnp.float32)
+    # |d|^2 per pixel: the camera basis is orthonormal
+    a_px = (1.0 + xv * xv + yv * yv)[None, :]  # (1, HW)
 
-        # --- oriented box (analytic OBB; drawBox extents,
-        # entity.py:409-432) ---
-        if has_box:
-            cd, sd = jnp.cos(direction), jnp.sin(direction)
-            zero = jnp.zeros_like(cd)
-            ax_x = jnp.stack([cd, zero, -sd])
-            ax_y = jnp.array([0.0, 1.0, 0.0])
-            ax_z = jnp.stack([sd, zero, cd])
+    # --- spheres (Ball) ---
+    if has_sphere:
+        zeros_e = jnp.zeros_like(height)
+        center = pos + jnp.stack([zeros_e, 0.5 * height, zeros_e], axis=1)
+        r_vis = 0.5 * height  # (E,)
+        oc = origin[None, :] - center  # (E, 3)
+        b = 2.0 * ray_dot(oc)  # (E, HW)
+        cc = jnp.sum(oc * oc, axis=1) - r_vis * r_vis  # (E,)
+        disc = b * b - (4.0 * cc)[:, None] * a_px
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_sph = (-b - sq) / (2.0 * a_px)
+        sph_hit = (disc > 0.0) & (t_sph > NEAR) & (t_sph < FAR)
+    else:
+        t_sph = jnp.full((E, hw), jnp.inf, jnp.float32)
+        sph_hit = jnp.zeros((E, hw), bool)
 
-            o_rel = origin - pos
-            o_l = jnp.stack([o_rel @ ax_x, o_rel @ ax_y, o_rel @ ax_z])
+    # box frame (shared with the normal reconstruction below)
+    cd, sd = jnp.cos(state.ent_dir), jnp.sin(state.ent_dir)  # (E,)
+    zero = jnp.zeros_like(cd)
+    ax_x = jnp.stack([cd, zero, -sd], axis=1)  # (E, 3)
+    ax_z = jnp.stack([sd, zero, cd], axis=1)
+    o_rel = origin[None, :] - pos  # (E, 3)
+    o_l = jnp.stack(
+        [jnp.sum(o_rel * ax_x, axis=1), o_rel[:, 1],
+         jnp.sum(o_rel * ax_z, axis=1)],
+        axis=1,
+    )  # (E, 3) ray origin in each box's local frame
+    lo = jnp.stack([-size[:, 0] * 0.5, zero, -size[:, 2] * 0.5], axis=1)
+    hi = jnp.stack([size[:, 0] * 0.5, size[:, 1], size[:, 2] * 0.5], axis=1)
 
-            def dot3(axv):
-                return (
-                    dirs[:, 0] * axv[0] + dirs[:, 1] * axv[1]
-                    + dirs[:, 2] * axv[2]
-                )
+    # --- oriented boxes (analytic OBB; drawBox extents,
+    # entity.py:409-432) ---
+    if has_box:
+        d_ly = (fwd[1] + xv * right[1] + yv * up[1])[None, :]  # (1, HW)
+        d_l = (ray_dot(ax_x), d_ly, ray_dot(ax_z))
+        t_lo, t_hi_l = [], []
+        for k in range(3):
+            dk = d_l[k]
+            inv = 1.0 / jnp.where(jnp.abs(dk) < 1e-9, 1e-9, dk)
+            t1 = (lo[:, k:k + 1] - o_l[:, k:k + 1]) * inv
+            t2 = (hi[:, k:k + 1] - o_l[:, k:k + 1]) * inv
+            t_lo.append(jnp.minimum(t1, t2))
+            t_hi_l.append(jnp.maximum(t1, t2))
+        t_in = jnp.maximum(jnp.maximum(t_lo[0], t_lo[1]), t_lo[2])
+        t_out = jnp.minimum(jnp.minimum(t_hi_l[0], t_hi_l[1]), t_hi_l[2])
+        box_hit = (t_in <= t_out) & (t_in > NEAR) & (t_in < FAR)
+    else:
+        t_in = jnp.full((E, hw), jnp.inf, jnp.float32)
+        box_hit = jnp.zeros((E, hw), bool)
 
-            d_l = jnp.stack([dot3(ax_x), dot3(ax_y), dot3(ax_z)], axis=1)
-
-            lo = jnp.stack([-size[0] * 0.5, 0.0, -size[2] * 0.5])
-            hi = jnp.stack([size[0] * 0.5, size[1], size[2] * 0.5])
-
-            safe_d = jnp.where(jnp.abs(d_l) < 1e-9, 1e-9, d_l)
-            t1 = (lo[None, :] - o_l[None, :]) / safe_d
-            t2 = (hi[None, :] - o_l[None, :]) / safe_d
-            t_lo = jnp.minimum(t1, t2)
-            t_hi = jnp.maximum(t1, t2)
-            t_in = jnp.max(t_lo, axis=1)
-            t_out = jnp.min(t_hi, axis=1)
-            box_hit = (t_in <= t_out) & (t_in > NEAR) & (t_in < FAR)
-            # entry-slab normal via a one-hot over the 3 slabs (per-
-            # pixel gathers cost ~16 ns/element; selects are ~free)
-            slab_oh = (t_lo == t_in[:, None]).astype(jnp.float32)
-            slab_oh = slab_oh * (1.0 / jnp.maximum(
-                jnp.sum(slab_oh, axis=1, keepdims=True), 1.0))
-            sign = -jnp.sign(jnp.sum(slab_oh * d_l, axis=1))
-            axes_world = jnp.stack([ax_x, ax_y, ax_z])
-            n_box = sign[:, None] * (slab_oh @ axes_world)
-        else:
-            t_in = jnp.full(hw, jnp.inf, jnp.float32)
-            box_hit = jnp.zeros(hw, bool)
-            n_box = jnp.zeros((hw, 3), jnp.float32)
-
-        is_sphere = shape == SHAPE_SPHERE
-        is_box = shape == SHAPE_BOX
-        t_e = jnp.where(is_sphere, t_sph, t_in)
-        hit_e = active & jnp.where(is_sphere, sph_hit, box_hit & is_box)
-        n_e = jnp.where(is_sphere, n_sph, n_box)
-
-        closer = hit_e & (t_e < t_best)
-        t_best = jnp.where(closer, t_e, t_best)
-        col_best = jnp.where(closer[:, None], color[None, :], col_best)
-        n_best = jnp.where(closer[:, None], n_e, n_best)
-        return (t_best, col_best, n_best), None
-
-    init = (
-        jnp.full(hw, jnp.inf, jnp.float32),
-        jnp.zeros((hw, 3), jnp.float32),
-        jnp.zeros((hw, 3), jnp.float32),
+    t_e = jnp.where(is_sphere[:, None], t_sph, t_in)
+    hit_e = active[:, None] & jnp.where(
+        is_sphere[:, None], sph_hit, box_hit & is_box[:, None]
     )
-    (t_best, col_best, n_best), _ = jax.lax.scan(
-        body, init, jnp.arange(num_ents)
-    )
+
+    # keyed-z winner over the slot axis (unique per pixel)
+    assert E <= (1 << _IDX_BITS), E
+    r_e = jnp.where(hit_e, 1.0 / jnp.maximum(t_e, 1e-30), 0.0)
+    rkey = jax.lax.bitcast_convert_type(r_e, jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)
+    key = jnp.where(hit_e & (r_e > 0.0), (rkey & ~_IDX_MASK) | idx, 0)
+    key_max = jnp.max(key, axis=0)  # (HW,)
+    any_hit = key_max > 0
+    ohf = (
+        (idx == (key_max & _IDX_MASK)[None, :]) & any_hit[None, :]
+    ).astype(jnp.float32)  # (E, HW)
+    r_best = jax.lax.bitcast_convert_type(key_max & ~_IDX_MASK, jnp.float32)
+    t_best = jnp.where(any_hit, 1.0 / jnp.maximum(r_best, 1e-30), jnp.inf)
+
+    # winner color via one MXU one-hot dot
+    col_best = jax.lax.dot_general(
+        ohf, state.ent_color,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HW, 3)
+
+    # Normals per (entity, pixel) component, selected by the one-hot
+    # reduce over the leading slot axis — everything stays (E, HW)
+    # elementwise work that XLA fuses into the reduction (a
+    # winner-params + per-pixel-reconstruction variant materialized
+    # ~25 extra (HW,) f32 streams and REGRESSED Hallway 105k -> 85k).
+    if has_sphere:
+        # n = (oc + t*d) / r_vis, componentwise with separable d
+        inv_rv = 1.0 / jnp.maximum(r_vis, 1e-9)  # (E,)
+        t_s = jnp.where(sph_hit, t_sph, 0.0)
+        d_x = (fwd[0] + xv * right[0] + yv * up[0])[None, :]
+        d_y = (fwd[1] + xv * right[1] + yv * up[1])[None, :]
+        d_z = (fwd[2] + xv * right[2] + yv * up[2])[None, :]
+        ns_x = (oc[:, 0:1] + t_s * d_x) * inv_rv[:, None]
+        ns_y = (oc[:, 1:2] + t_s * d_y) * inv_rv[:, None]
+        ns_z = (oc[:, 2:3] + t_s * d_z) * inv_rv[:, None]
+    if has_box:
+        # entry-slab one-hot per (entity, pixel), like the reference
+        # OBB pass: slab k wins when its t_lo equals t_in
+        slab = [(t_lo[k] == t_in).astype(jnp.float32) for k in range(3)]
+        norm = 1.0 / jnp.maximum(slab[0] + slab[1] + slab[2], 1.0)
+        slab = [s * norm for s in slab]
+        sign = -jnp.sign(
+            slab[0] * d_l[0] + slab[1] * d_l[1] + slab[2] * d_l[2]
+        )
+        nb_x = sign * (slab[0] * ax_x[:, 0:1] + slab[2] * ax_z[:, 0:1])
+        nb_y = sign * slab[1]
+        nb_z = sign * (slab[0] * ax_x[:, 2:3] + slab[2] * ax_z[:, 2:3])
+    if has_sphere and has_box:
+        sph_e = is_sphere[:, None]
+        n_x = jnp.where(sph_e, ns_x, nb_x)
+        n_y = jnp.where(sph_e, ns_y, nb_y)
+        n_z = jnp.where(sph_e, ns_z, nb_z)
+    elif has_sphere:
+        n_x, n_y, n_z = ns_x, ns_y, ns_z
+    else:
+        n_x, n_y, n_z = nb_x, nb_y, nb_z
+    n_best = jnp.stack(
+        [jnp.sum(ohf * n_x, axis=0), jnp.sum(ohf * n_y, axis=0),
+         jnp.sum(ohf * n_z, axis=0)],
+        axis=1,
+    )  # (HW, 3)
     return t_best, col_best, n_best
 
 
@@ -972,7 +1065,13 @@ def render_rgbd(
     origin = geom.cam_position(
         state.pos, state.dir, state.cam_height, state.cam_fwd_disp
     )
-    dirs = camera_rays(state, width, height)  # (HW,3)
+    rays = camera_grid(state, width, height)  # separable decomposition
+    fwd, right, up, xv, yv = rays
+    # per-pixel directions, for hit-point reconstruction and the
+    # analytic entity pass
+    dirs = (
+        fwd[None, :] + xv[:, None] * right[None, :] + yv[:, None] * up[None, :]
+    )
 
     sched = None
     if pvs_packed:
@@ -988,7 +1087,7 @@ def render_rgbd(
         # pass result seeds the static scan's carry, making the z-merge
         # the scan's own closer-select
         seed = _entity_mesh_pass(
-            bank, layout_id, state, origin, dirs,
+            bank, layout_id, state, origin, rays,
             fourier=tex["mode"] == "fourier",
         )
     if pvs_packed:
@@ -1021,7 +1120,7 @@ def render_rgbd(
             bank.tri_active_base[0] + state.wall_open @ bank.tri_wall_onehot[0]
         )
     t_tri, attr = _tri_pass(
-        v9_bank, at_bank, layout_id, origin, dirs, tri_chunk,
+        v9_bank, at_bank, layout_id, origin, rays, tri_chunk,
         slot_key=state.tri_slots if use_key else None,
         tex_banks=tex_banks if use_key else None,
         dr_active=domain_rand,
@@ -1032,7 +1131,7 @@ def render_rgbd(
     if has_analytic:
         # analytic spheres/boxes compete after texture evaluation
         t_ent, col_ent, n_ent = _entity_pass(
-            bank, layout_id, state, origin, dirs, shapes_present
+            bank, layout_id, state, origin, rays, shapes_present
         )
 
     # UV from the affine texture map at the triangle hit point
