@@ -449,20 +449,19 @@ class MiniWorldVec:
         assert supersample in (1, 2), supersample
         self.supersample = supersample
         hw = self.obs_width * self.obs_height * supersample ** 2
-        # Render micro-batching: at very large B x HW the render scan's
-        # (B', HW, chunk) intermediates + the (B', HW, 16) attr carry
-        # exceed HBM even at the minimum chunk size; split the batch
-        # into serial sub-batches (smallest divisor of B keeping
-        # B' x HW <= 1e7, i.e. ~2048 envs at 80x60 — still saturating,
-        # and small enough that the chunk-size planner isn't forced to
-        # the minimum chunk).
-        self.render_microbatch = 1
-        while (
-            num_envs % (self.render_microbatch * 2) == 0
-            and (num_envs // self.render_microbatch) * hw > 1.0e7
-        ):
-            self.render_microbatch *= 2
-        eff_envs = num_envs // self.render_microbatch
+        self._hw = hw
+        # Render micro-batching: serialize the render over sub-batches
+        # of ~B' envs (lax.map). Originally an HBM-pressure guard
+        # (B' x HW <= 1e7); a round-5 sweep on chip found much smaller
+        # sub-batches are FASTER outright — working sets stay resident
+        # while the map iterates: B' ~ 1024 at 80x60 for box-only
+        # scenes (Maze 8x8 B=8192: 45.1k -> 47.9k steps/s), B' ~ 256
+        # when the mesh-entity pass runs, whose (B', E*M, HW)
+        # intermediates dominate (PickupObjects B=4096: 52.8k -> 74.3k).
+        # The final value is set after the bank install (it needs
+        # shapes_present); this provisional bound only sizes the chunk
+        # cap below.
+        eff_envs = min(num_envs, 1024)
         # Chunk-size cap. Round-1 XLA materialized (B', HW, chunk)
         # intermediates, forcing chunk*B'*HW*4 <= 2.5 GB; round-3
         # profiling shows the t/hit work now fuses to (B', HW) outputs
@@ -521,6 +520,16 @@ class MiniWorldVec:
                 spec, bank_seed, tex_mode, fourier_k
             )
         self._install_bank(bank_np, tex_np, fresh=True)
+
+        # Final sub-batch size (see the sweep note above): pixel budget
+        # ~B'_opt x 4800, scaled by the actual obs size.
+        px_budget = 1.25e6 if self._shapes_present[2] else 5.0e6
+        self.render_microbatch = 1
+        while (
+            num_envs % (self.render_microbatch * 2) == 0
+            and (num_envs // self.render_microbatch) * hw > px_budget
+        ):
+            self.render_microbatch *= 2
 
         if spec.discrete_actions is not None:
             self._action_table = jnp.asarray(spec.discrete_actions)
