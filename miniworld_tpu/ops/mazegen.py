@@ -93,8 +93,13 @@ def gen_walls(key: jax.Array, rows: int, cols: int) -> jax.Array:
     """One maze: (W,) f32 in {0, 1}, 1 = wall open. Jittable/vmappable.
 
     Exactly ``2*rows*cols - 1`` scan steps; every dynamic index is a
-    one-hot contract (no gathers).
+    one-hot contract (no gathers). ``key`` may be a typed PRNG key or a
+    () u32 subseed; the per-step choice uniforms are counter-based
+    (ops/rng.py — jax.random's rolled threefry while-loops cost more
+    than this whole generator when vmapped in the auto-reset path).
     """
+    from miniworld_tpu.ops import rng as rng_ops
+
     n = rows * cols
     w = num_walls(rows, cols)
     nbr_cell_np, nbr_wall_np = neighbor_tables(rows, cols)
@@ -103,7 +108,11 @@ def gen_walls(key: jax.Array, rows: int, cols: int) -> jax.Array:
     iota_n = jnp.arange(n, dtype=jnp.int32)
     iota_w = jnp.arange(w, dtype=jnp.int32)
 
-    us = jax.random.uniform(key, (2 * n - 1,))
+    if getattr(key, "dtype", None) == jnp.uint32:
+        seed = key
+    else:
+        seed = rng_ops.cheap_seed(key)
+    us = rng_ops.uniforms(seed, 2, (2 * n - 1,))
 
     def body(carry, u):
         visited, stack, sp, walls = carry

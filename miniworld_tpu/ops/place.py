@@ -21,11 +21,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from miniworld_tpu.ops import geom
+from miniworld_tpu.ops import geom, rng as rng_ops
 
 
-def sample_room(key: jax.Array, lay, room_weight=None) -> jax.Array:
-    """Room index sampled proportionally to floor bbox area.
+def sample_room(u: jax.Array, lay, room_weight=None) -> jax.Array:
+    """Room index sampled proportionally to floor bbox area, from a
+    uniform draw ``u`` in [0, 1).
 
     Manual inverse-CDF categorical — jax.random.choice(p=...) compiles
     pathologically slowly under vmap.
@@ -39,8 +40,7 @@ def sample_room(key: jax.Array, lay, room_weight=None) -> jax.Array:
     if room_weight is not None:
         probs = probs * room_weight
     cdf = jnp.cumsum(probs)
-    u = jax.random.uniform(key, (), maxval=1.0) * cdf[-1]
-    return jnp.argmax(u < cdf).astype(jnp.int32)
+    return jnp.argmax(u * cdf[-1] < cdf).astype(jnp.int32)
 
 
 def gate_segs4(segs4, codes, wall_open):
@@ -83,27 +83,38 @@ def place_one(
 ):
     """Sample one entity pose. Returns (pos (3,), dir ())."""
 
-    k_dir, k_tries = jax.random.split(key)
+    # Counter-based uniforms (ops/rng.py) instead of per-try key
+    # splitting: jax.random's threefry lowers as rolled while-loops
+    # whose per-iteration latency, vmapped over envs inside auto-reset,
+    # profiled at ~14% of the Maze 8x8 step. Row i drives try i
+    # ([0] room draw, [1:4] position); the last row drives the
+    # budget-exhausted fallback. ``key`` may be a typed PRNG key or a
+    # () u32 subseed (the vector reset path passes subseeds directly).
+    if getattr(key, "dtype", None) == jnp.uint32:
+        seed = key
+    else:
+        seed = rng_ops.cheap_seed(key)
+    us = rng_ops.uniforms(seed, 1, (budget + 2, 4))
+    u_dir = us[budget + 1, 1]
 
-    def sample_dir(k):
+    def sample_dir(u):
         return jnp.where(
             jnp.isnan(rule_dir),
-            jax.random.uniform(k, (), minval=rule_dir_lo, maxval=rule_dir_hi),
+            rule_dir_lo + u * (rule_dir_hi - rule_dir_lo),
             rule_dir,
         )
 
     exact = ~jnp.isnan(rule_pos[0])
 
-    def one_try(k):
-        k_room, k_pos = jax.random.split(k)
+    def one_try(u):
         room_idx = jnp.where(
-            rule_room >= 0, rule_room, sample_room(k_room, lay, room_weight)
+            rule_room >= 0, rule_room, sample_room(u[0], lay, room_weight)
         )
         aabb = lay.room_aabb[room_idx]  # [min_x, max_x, min_z, max_z]
         bbox = jnp.where(jnp.isnan(rule_bbox), aabb, rule_bbox)
         lo = jnp.stack([bbox[0] - radius, 0.0, bbox[2] - radius])
         hi = jnp.stack([bbox[1] + radius, 0.0, bbox[3] + radius])
-        pos = jax.random.uniform(k_pos, (3,), minval=lo, maxval=hi)
+        pos = lo + u[1:4] * (hi - lo)
 
         pos_xz = pos[jnp.array([0, 2])]
         inside = geom.point_inside_convex(
@@ -133,25 +144,30 @@ def place_one(
         ok = inside & ~wall_hit & ~ent_hit
         return pos, ok
 
-    def body(carry, k):
+    def body(carry, u):
         found, best = carry
-        pos, ok = one_try(k)
+        pos, ok = one_try(u)
         take = ok & ~found
         best = jnp.where(take, pos, best)
         return (found | ok, best), None
 
-    keys = jax.random.split(k_tries, budget)
-    init_pos, _ = one_try(keys[-1])
-    (found, pos), _ = jax.lax.scan(body, (jnp.bool_(False), init_pos), keys)
+    init_pos, _ = one_try(us[budget])
+    # unrolled: the rolled 16-iteration while's per-iteration latency,
+    # vmapped over envs in the auto-reset path, profiled at ~14% of the
+    # Maze 8x8 step; unrolling lets XLA run the independent per-try
+    # work in parallel and keep only the cheap found/best chain
+    (found, pos), _ = jax.lax.scan(
+        body, (jnp.bool_(False), init_pos), us[:budget], unroll=True
+    )
 
     # Budget exhausted (large radii, e.g. RoomObjects' 1.5 agent, can
     # push per-try success low enough to fire): clamp the fallback
     # into the rule room's bbox inset by the radius, so the worst case
     # is an overlapping-but-in-room spawn — never an out-of-room one
     # the walls would then trap outside.
-    k_room2 = jax.random.fold_in(k_tries, 1)
     room_idx = jnp.where(
-        rule_room >= 0, rule_room, sample_room(k_room2, lay, room_weight)
+        rule_room >= 0, rule_room,
+        sample_room(us[budget + 1, 0], lay, room_weight),
     )
     aabb = lay.room_aabb[room_idx]
     ctr = jnp.stack([
@@ -164,5 +180,5 @@ def place_one(
     pos = jnp.where(found, pos, ctr)
 
     pos = jnp.where(exact, jnp.nan_to_num(rule_pos), pos)
-    d = sample_dir(k_dir)
+    d = sample_dir(u_dir)
     return pos, d

@@ -145,23 +145,14 @@ def chunk_schedule(bank, chunk_vis, layout_id, origin, sched_len: int):
     return jax.lax.sort(keys)[:sched_len]
 
 
-def hash01(key: jax.Array, ids: jax.Array) -> jax.Array:
-    """Counter-based uniform in [0,1) keyed on (key, id): same id =>
-    same draw within an episode, so every triangle of a (room, role)
-    texture slot picks the same variant while distinct slots draw
-    independently (the reference samples one variant per Texture.get
-    call, opengl.py:136-140). Wang/lowbias32-style integer mix.
-
-    Lives here because the render scan evaluates it chunk-wise (the
-    per-episode texture-variant state is just the scalar key,
-    state.tri_slots — materializing a per-tri table cost (B, S) HBM
-    and a reset-time pass for a value derivable in-scan for free).
-    """
-    x = ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) ^ key
-    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
-    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
-    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+# Counter-based uniform in [0,1) keyed on (key, id): same id => same
+# draw within an episode, so every triangle of a (room, role) texture
+# slot picks the same variant while distinct slots draw independently
+# (the reference samples one variant per Texture.get call,
+# opengl.py:136-140). The render scan evaluates it chunk-wise — the
+# per-episode texture-variant state is just the scalar key,
+# state.tri_slots. Shared with reset-time draws in ops/rng.py.
+from miniworld_tpu.ops.rng import hash01  # noqa: E402,F401 (re-export)
 
 
 def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
@@ -278,11 +269,9 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
             )
         return v9, attrs
 
-    def body(carry, x):
-        # barrier: XLA:TPU otherwise fuses/remats iterations of this
-        # scan into one (B, HW, S) buffer — 22 GB for an 8x8 maze
-        carry = jax.lax.optimization_barrier(carry)
-        key_best, attr_best = carry
+    def chunk_compete(x):
+        """One chunk's keyed-z competition: (key_max (HW,) i32,
+        sel (HW, ATTR_DIM) bf16)."""
         if tri_active is None:
             v9, attrs = x
         else:
@@ -399,7 +388,14 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)  # (HW, 16)
+        return key_max, sel
 
+    def body(carry, x):
+        # barrier: XLA:TPU otherwise fuses/remats iterations of this
+        # scan into one (B, HW, S) buffer — 22 GB for an 8x8 maze
+        carry = jax.lax.optimization_barrier(carry)
+        key_best, attr_best = carry
+        key_max, sel = chunk_compete(x)
         # Key comparison across chunks keeps the SINGLE winner (the
         # packed index makes keys unique per pixel; a repeat-sentinel
         # chunk reproduces the identical key and is not closer).
@@ -409,6 +405,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
             jnp.where(closer[:, None], sel, attr_best),
         ), None
 
+    seeded_init = init
     if init is None:
         init = (
             jnp.zeros(hw, jnp.int32),  # key 0 = no hit (t = inf)
@@ -435,7 +432,17 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
     if tri_active is not None:
         assert chunk_sched is None, "tri_active requires a dense scan"
         xs = (*xs, tri_active.reshape(n_chunks, tri_chunk))
-    (key_best, attr_best), _ = jax.lax.scan(body, init, xs)
+    if int(cs.shape[0]) == 1 and seeded_init is None:
+        # single-chunk schedule, no seed (Maze packed sched-1, Hallway):
+        # skip the scan — and with it the zero-init broadcast and the
+        # (B, HW, 16) carry select (profiled ~6% of the Maze step).
+        # No-hit pixels return key 0 (t = inf -> sky) with chunk row
+        # 0's attrs, which nothing downstream reads for sky pixels.
+        key_best, attr_best = chunk_compete(
+            jax.tree.map(lambda a: a[0], xs)
+        )
+    else:
+        (key_best, attr_best), _ = jax.lax.scan(body, init, xs)
     # No tie-normalize divide: the keyed-z winner is unique per pixel
     # (the packed row index disambiguates equal quantized depths), the
     # mesh-pass seed arrives already normalized, and no-hit pixels stay

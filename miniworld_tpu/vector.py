@@ -216,15 +216,19 @@ def plan_culling(bank_np: Layout, chunk_cap: int):
     (single-room scenes, open-air scenes, tiny banks).
     """
     pvs, room_mask = bank_np.room_pvs, bank_np.room_mask
+    S = bank_np.tri_room.shape[1]
+    full_k = min(chunk_cap, S)
     if all(pvs[li][np.ix_(m, m)].all()
            for li, m in enumerate(room_mask)):
-        return None, chunk_cap, None
+        return None, full_k, None
 
-    S = bank_np.tri_room.shape[1]
     candidates = [k for k in (16, 32, 48, 64, 96, 128, 160, 192, 224, 256)
-                  if k <= min(chunk_cap, S)] or [min(chunk_cap, S)]
-    best = (None, chunk_cap, None)
-    best_cost = (-(-S // chunk_cap)) * (chunk_cap + _CHUNK_OVERHEAD_TRIS)
+                  if k <= full_k] or [full_k]
+    best = (None, full_k, None)
+    # baseline: the full scan at its EFFECTIVE chunk (clamped to S —
+    # using the raw cap here made a useless 2-chunk culling plan beat
+    # a single-chunk full scan on MazeS3 once quads shrank S below it)
+    best_cost = (-(-S // full_k)) * (full_k + _CHUNK_OVERHEAD_TRIS)
     for k in candidates:
         vis = _chunk_visibility(bank_np, k)
         # worst case over (layout, valid room) of active chunk count
@@ -417,7 +421,7 @@ class MiniWorldVec:
         obs_height: int | None = None,
         domain_rand: bool = False,
         bank_seed: int = 0,
-        tri_chunk: int = 128,
+        tri_chunk: int | None = None,  # None -> auto (largest allowed)
         with_depth: bool = True,
         place_budget: int | None = None,  # None -> spec.place_budget
         tex_mode: str = "fourier",
@@ -469,14 +473,19 @@ class MiniWorldVec:
         # are the (B', HW, 16) attr resolves), and Maze ran chunk 384
         # at B'=2048 x 4800 px without memory pressure. The cap is kept
         # only as a runaway guard, 8x above any measured config.
-        auto = int(2e10 / 4 / max(eff_envs * hw, 1))
-        # full-scan chunk (user-tunable); the packed-PVS planner may
-        # choose LARGER chunks up to _chunk_cap — fewer scan iterations
-        # measured strictly faster once per-iteration fixed costs
-        # dominate (Maze sched 4x96 -> 1x384: +10-22%, PERF.md round 3)
+        auto = int(4e10 / 4 / max(eff_envs * hw, 1))
+        # full-scan chunk (user-tunable; None = the cap, i.e. as few
+        # scan iterations as allowed — one whenever S fits, which also
+        # takes _tri_pass's no-scan fast path). Fewer iterations
+        # measured strictly faster since round 3 (Maze sched 4x96 ->
+        # 1x384: +10-22%; procgen Maze 8x8 dense 8x128 -> 1x832:
+        # 10.6k -> 21.3k steps/s, round 5). The packed-PVS planner
+        # explores up to _chunk_cap on its own either way.
         # 1024 = the z-key's index budget (raycast._IDX_BITS)
         self._chunk_cap = min((auto // 16) * 16 or 16, 1024)
-        self.tri_chunk = max(16, min(tri_chunk, self._chunk_cap))
+        self.tri_chunk = max(
+            16, min(tri_chunk or self._chunk_cap, self._chunk_cap)
+        )
         self._chunk_vis = None  # set after the bank is compiled
         self._sched_len = None
 
@@ -576,22 +585,30 @@ class MiniWorldVec:
                 self._pvs_packed = True
                 self._sched_len = packed_sched
             else:
-                self.tri_chunk = chunks_k
+                s_nat = bank_np.tri_mask.shape[1]
                 # never pad the bank BEYOND its natural triangle count (a
                 # 112-chunk on Hallway's 56 triangles would double the scan)
-                self.tri_chunk = min(self.tri_chunk, bank_np.tri_mask.shape[1])
+                self.tri_chunk = min(chunks_k, s_nat)
                 # align chunks (and the per-tri state row view) to the bank
-                bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
-                chunk_vis = _chunk_visibility(bank_np, self.tri_chunk)
+                trial = _repad_for_chunks(bank_np, self.tri_chunk)
+                chunk_vis = _chunk_visibility(trial, self.tri_chunk)
                 n_chunks = chunk_vis.shape[1]
                 bound = 1
                 for li in range(chunk_vis.shape[0]):
-                    counts = chunk_vis[li].sum(axis=0)[bank_np.room_mask[li]]
+                    counts = chunk_vis[li].sum(axis=0)[trial.room_mask[li]]
                     if counts.size:
                         bound = max(bound, int(counts.max()))
                 if bound < n_chunks:
+                    bank_np = trial
                     self._chunk_vis = jnp.asarray(chunk_vis)
                     self._sched_len = bound
+                else:
+                    # repadding shifted chunk boundaries enough that the
+                    # planned culling bound degraded to the full scan —
+                    # take the largest-chunk full scan instead (fewest
+                    # iterations; single chunk hits the no-scan path)
+                    self.tri_chunk = min(self._chunk_cap, s_nat)
+                    bank_np = _repad_for_chunks(bank_np, self.tri_chunk)
         elif self._pvs_packed:
             # refresh: same chunk size; pad region banks to the previous
             # packed size so shapes (and compiled programs) are reused.
@@ -787,14 +804,44 @@ class MiniWorldVec:
             key, np.shape(p.default), jnp.float32, minval=lo, maxval=hi
         )
 
+    def _sample_param_u(self, u3, name):
+        """Like _sample_param but from a (3,) counter-based uniform row
+        (ops/rng.py) — the reset path's draw source (threefry while
+        loops vmapped over envs cost ~14% of the Maze step)."""
+        p = self.spec.params.params[name]
+        if not self.domain_rand:
+            return jnp.asarray(p.default, dtype=jnp.float32)
+        lo = jnp.asarray(p.min, dtype=jnp.float32)
+        hi = jnp.asarray(p.max, dtype=jnp.float32)
+        shape = np.shape(p.default)  # () or (3,) (params.py)
+        assert shape in ((), (3,)), (name, shape)
+        uu = u3 if shape else u3[0]
+        return lo + uu * (hi - lo)
+
     # -- reset -------------------------------------------------------------
 
     def _reset_one(self, bank: Layout, key: jax.Array) -> EnvState:
+        """Reset one env. All reset-time draws are counter-based
+        uniforms from ops/rng.py keyed on this reset key's data words:
+        jax.random primitives lower threefry as rolled while-loops
+        whose latency, vmapped over envs in the auto-reset path (every
+        step computes a reset for every env), profiled at ~14% of the
+        Maze 8x8 step. Only the episode rng / spec hook keep real PRNG
+        keys (one split)."""
+        from miniworld_tpu.ops import rng as rng_ops
+
         spec = self.spec
-        ks = jax.random.split(key, 12)
+        k_rng, k_post = jax.random.split(key)
+        seed = rng_ops.cheap_seed(key)
+
+        def u(purpose, shape=()):
+            return rng_ops.uniforms(seed, purpose, shape)
 
         if self.num_layouts > 1:
-            layout_id = jax.random.randint(ks[0], (), 0, self.num_layouts)
+            layout_id = jnp.minimum(
+                jnp.floor(u(10, (1,))[0] * self.num_layouts),
+                self.num_layouts - 1,
+            ).astype(jnp.int32)
         else:
             layout_id = jnp.int32(0)
         lay = lay_view(bank, layout_id)
@@ -811,7 +858,7 @@ class MiniWorldVec:
             from miniworld_tpu.ops import mazegen
 
             wall_open = mazegen.gen_walls(
-                ks[11], self.spec.num_rows, self.spec.num_cols
+                rng_ops.sub(seed, 17), self.spec.num_rows, self.spec.num_cols
             )
             rw = lay.room_wall  # (R,) i32: -1 = cell, w = junction of w
             w_oh = (
@@ -823,16 +870,19 @@ class MiniWorldVec:
 
         E = self.num_ent_slots
         # prototype choice per slot
-        def pick(kk, choices):
+        def pick(uu, choices):
             n = jnp.sum(choices >= 0)
-            i = jax.random.randint(kk, (), 0, jnp.maximum(n, 1))
+            i = jnp.minimum(
+                jnp.floor(uu * n).astype(jnp.int32), jnp.maximum(n - 1, 0)
+            )
             return choices[i]
 
-        ent_proto = jax.vmap(pick)(jax.random.split(ks[1], E), lay.slot_protos)
+        ent_proto = jax.vmap(pick)(u(11, (E,)), lay.slot_protos)
         ent_proto = jnp.maximum(ent_proto, 0)
 
-        size_mul = jax.random.uniform(
-            ks[2], (E,), minval=lay.slot_size_lo, maxval=lay.slot_size_hi
+        size_mul = (
+            lay.slot_size_lo
+            + u(12, (E,)) * (lay.slot_size_hi - lay.slot_size_lo)
         )
         ent_size = lay.proto_size[ent_proto] * size_mul[:, None]
         ent_radius = lay.proto_radius[ent_proto] * size_mul
@@ -841,11 +891,9 @@ class MiniWorldVec:
         # obj_color_bias per entity (entity.py:405-407)
         p_bias = spec.params.params["obj_color_bias"]
         if self.domain_rand:
-            bias = jax.random.uniform(
-                ks[3], (E, 3),
-                minval=jnp.asarray(p_bias.min, jnp.float32),
-                maxval=jnp.asarray(p_bias.max, jnp.float32),
-            )
+            b_lo = jnp.asarray(p_bias.min, jnp.float32)
+            b_hi = jnp.asarray(p_bias.max, jnp.float32)
+            bias = b_lo + u(13, (E, 3)) * (b_hi - b_lo)
         else:
             bias = jnp.broadcast_to(jnp.asarray(p_bias.default, jnp.float32), (E, 3))
         colorable = lay.proto_colorable[ent_proto]
@@ -856,19 +904,24 @@ class MiniWorldVec:
 
         # placement alternative per slot
         n_alts = jnp.sum(lay.rule_mask, axis=1)  # (E+1,)
-        alts = jax.vmap(
-            lambda kk, n: jax.random.randint(kk, (), 0, jnp.maximum(n, 1))
-        )(jax.random.split(ks[4], E + 1), n_alts)
+        u_alts = u(14, (E + 1,))
+        alts = jnp.minimum(
+            jnp.floor(u_alts * n_alts).astype(jnp.int32),
+            jnp.maximum(n_alts - 1, 0),
+        )
 
-        # sequential placement (miniworld.py:922-992 order semantics)
-        place_keys = jax.random.split(ks[5], E)
+        # sequential placement (miniworld.py:922-992 order semantics);
+        # per-slot u32 subseeds (row E = the agent)
+        place_seeds = rng_ops.hash_u32(
+            rng_ops.sub(seed, 18), jnp.arange(E + 1, dtype=jnp.uint32)
+        )
 
         def place_body(carry, inp):
             ent_pos, ent_dir, placed = carry
             e, kk = inp
             alt = alts[e]
             pos, d = place_ops.place_one(
-                kk, lay, bank.room_segs, layout_id,
+                kk, lay, bank.room_segs, layout_id,  # kk: u32 subseed
                 lay.rule_room[e, alt], lay.rule_bbox[e, alt],
                 lay.rule_pos[e, alt], lay.rule_dir[e, alt],
                 lay.rule_dir_lo[e, alt], lay.rule_dir_hi[e, alt],
@@ -888,14 +941,17 @@ class MiniWorldVec:
             jnp.zeros((E,), jnp.float32),
             jnp.zeros((E,), bool),
         )
+        # unroll: E is small (1-18); the sequential dependence is real
+        # (each slot collides against the ones placed before it) but the
+        # rolled while's per-iteration launch latency is not
         (ent_pos, ent_dir, placed), _ = jax.lax.scan(
-            place_body, init, (jnp.arange(E), place_keys)
+            place_body, init, (jnp.arange(E), place_seeds[:E]), unroll=True
         )
 
         # agent placement (rule row E)
         agent_alt = alts[E]
         agent_pos, agent_dir = place_ops.place_one(
-            ks[6], lay, bank.room_segs, layout_id,
+            place_seeds[E], lay, bank.room_segs, layout_id,
             lay.rule_room[E, agent_alt], lay.rule_bbox[E, agent_alt],
             lay.rule_pos[E, agent_alt], lay.rule_dir[E, agent_alt],
             lay.rule_dir_lo[E, agent_alt], lay.rule_dir_hi[E, agent_alt],
@@ -906,15 +962,13 @@ class MiniWorldVec:
         )
 
         # per-episode params (reset consumption; miniworld.py:586-599)
-        pk = jax.random.split(ks[7], 8)
-        sky_color = self._sample_param(pk[0], "sky_color")
-        light_pos = self._sample_param(pk[1], "light_pos")
-        light_color = self._sample_param(pk[2], "light_color")
-        light_ambient = self._sample_param(pk[3], "light_ambient")
-        cam_height = self._sample_param(pk[4], "cam_height")
-        cam_fwd_disp = self._sample_param(pk[5], "cam_fwd_disp")
-        cam_pitch = self._sample_param(pk[6], "cam_pitch")
-        cam_fov_y = self._sample_param(pk[7], "cam_fov_y")
+        pu = u(15, (8, 3))
+        names = ["sky_color", "light_pos", "light_color", "light_ambient",
+                 "cam_height", "cam_fwd_disp", "cam_pitch", "cam_fov_y"]
+        (sky_color, light_pos, light_color, light_ambient, cam_height,
+         cam_fwd_disp, cam_pitch, cam_fov_y) = (
+            self._sample_param_u(pu[i], n) for i, n in enumerate(names)
+        )
 
         # Texture variants (opengl.py:136-140): one independent draw per
         # (room, role) slot via a keyed hash of the slot id, resolved
@@ -923,10 +977,12 @@ class MiniWorldVec:
         # no per-pixel slot-table lookup).
         n_slots = lay.tex_slot_base.shape[0]
         if self.domain_rand:
-            tkey = jax.random.bits(ks[8], (), jnp.uint32)
-            u = _hash01(tkey, jnp.arange(n_slots, dtype=jnp.int32))
+            tkey = rng_ops.sub(seed, 16)
+            u_var = _hash01(tkey, jnp.arange(n_slots, dtype=jnp.int32))
             offs = jnp.minimum(
-                jnp.floor(u * lay.tex_slot_count.astype(jnp.float32)).astype(jnp.int32),
+                jnp.floor(
+                    u_var * lay.tex_slot_count.astype(jnp.float32)
+                ).astype(jnp.int32),
                 lay.tex_slot_count - 1,
             )
         else:
@@ -946,13 +1002,13 @@ class MiniWorldVec:
             ent_alive=lay.slot_mask,
             ent_proto=ent_proto, ent_color=ent_color, ent_size=ent_size,
             ent_radius=ent_radius, ent_height=ent_height,
-            step_count=jnp.int32(0), rng=ks[9], layout_id=layout_id,
+            step_count=jnp.int32(0), rng=k_rng, layout_id=layout_id,
             sky_color=sky_color, light_pos=light_pos,
             light_color=light_color, light_ambient=light_ambient,
             tex_map=tex_map, tri_slots=tkey, wall_open=wall_open,
             task=task,
         )
-        return spec.post_reset(lay, state, ks[10])
+        return spec.post_reset(lay, state, k_post)
 
     # -- step ---------------------------------------------------------------
 

@@ -143,7 +143,10 @@ def test_box_query_semantics_vs_entity_pixels():
     env = MiniWorldVec("MiniWorld-OneRoom-v0", num_envs=B,
                        obs_width=W, obs_height=H)
     asserted = 0
-    for seed in (4, 5, 6):
+    # enough fixed seeds that >= 4 poses qualify under any reset-rng
+    # scheme (the round-5 counter-based reset draws shifted which
+    # seeds produce close-up entities)
+    for seed in range(4, 16):
         state, _ = env.reset(jax.random.key(seed))
         got = np.asarray(env.visible_ents(state))
         # render depth with the entity removed vs present
