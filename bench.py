@@ -11,11 +11,12 @@ default JAX backend and prints ONE JSON line:
 throughput numbers (/root/reference/README.md:31-41 is qualitative
 only, scripts/benchmark.py prints without recording).
 
-Usage: python bench.py [env_id] [num_envs] [horizon] [--procgen]
+Usage: python bench.py [env_id] [num_envs] [horizon] [--procgen|--bank]
 
-``--procgen`` (maze-grid envs only) switches to device-side per-reset
-maze generation (a fresh recursive-backtracker maze per episode,
-reference reset semantics) instead of the compiled layout bank.
+The Maze family DEFAULTS to device-side per-reset maze generation
+(reference reset semantics; envs/nav.py Maze.procgen_default).
+``--procgen`` forces that mode on, ``--bank`` forces the compiled
+layout-bank fast path; without either the spec's default applies.
 """
 
 from __future__ import annotations
@@ -30,8 +31,10 @@ TARGET = 1_000_000.0  # north-star env-steps/s per host (BASELINE.json)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--procgen"]
-    procgen = "--procgen" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a not in ("--procgen", "--bank")]
+    procgen = True if "--procgen" in sys.argv[1:] else (
+        False if "--bank" in sys.argv[1:] else None
+    )
     env_id = args[0] if len(args) > 0 else "MiniWorld-Hallway-v0"
     num_envs = int(args[1]) if len(args) > 1 else 1024
     horizon = int(args[2]) if len(args) > 2 else 50
@@ -65,7 +68,7 @@ def main():
 
     print(json.dumps({
         "metric": f"env-steps/s/chip ({env_id}, B={num_envs}, 80x60 RGB-D, "
-                  + ("procgen, " if procgen else "") + "fused rollout)",
+                  + ("procgen, " if env.procgen else "") + "fused rollout)",
         "value": round(best),
         "unit": "env-steps/s",
         "vs_baseline": round(best / TARGET, 4),

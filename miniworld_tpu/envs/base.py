@@ -91,6 +91,11 @@ class EnvSpec:
     # (~64 real DOF), K=64 renders readable letters. The cost is paid
     # only by env classes that opt in.
     fourier_k: int = 0
+    # MiniWorldVec(procgen=None) resolves to this: the Maze family
+    # defaults to device-side per-reset maze generation (reference
+    # reset semantics, miniworld/envs/maze.py:100-149); the compiled
+    # layout bank remains the opt-in fast path (procgen=False).
+    procgen_default: bool = False
 
     @property
     def max_forward_step(self) -> float:

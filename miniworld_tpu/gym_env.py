@@ -126,18 +126,24 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
         max_episode_steps: Optional[int] = None,
         show_controls: bool = False,
         skip_obs: bool = False,
+        view: str = "agent",
         **spec_kwargs,
     ):
         # skip_obs: return zero observations instead of raycasting.
         # Rendering consumes no rng, so trajectories are unchanged —
         # used by physics-parity tests that step thousands of times.
+        # view="top": observations are the orthographic top view with
+        # the agent marker (miniworld.py:470, 524-526, 1147-1166).
         gym.utils.EzPickle.__init__(
             self, spec,
             obs_width=obs_width, obs_height=obs_height,
             domain_rand=domain_rand, render_mode=render_mode,
             max_episode_steps=max_episode_steps,
-            show_controls=show_controls, skip_obs=skip_obs, **spec_kwargs,
+            show_controls=show_controls, skip_obs=skip_obs, view=view,
+            **spec_kwargs,
         )
+        assert view in ("agent", "top"), view  # miniworld.py:524-526
+        self.view = view
         if isinstance(spec, str):
             from miniworld_tpu.envs import make_spec
 
@@ -498,7 +504,14 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
         return bank, atlas, state
 
     def render_obs(self, depth: bool = False):
-        """First-person RGB (miniworld.py:1260-1303); exact textures."""
+        """First-person RGB (miniworld.py:1260-1303); exact textures.
+
+        With ``view="top"`` the observation is the orthographic top
+        view including the agent marker, exactly as the reference's
+        ``_render_world`` does for that mode (miniworld.py:1147-1166);
+        ``depth=True`` then returns the vertical hit distance from the
+        top camera plane.
+        """
         if self.skip_obs:
             rgb = np.zeros((self.obs_height, self.obs_width, 3), np.uint8)
             if depth:
@@ -506,6 +519,12 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
                     (self.obs_height, self.obs_width, 1), np.float32
                 )
             return rgb
+        if self.view == "top":
+            out = self.render_top_view(render_agent=True, with_depth=depth)
+            if depth:
+                rgb, d = out
+                return np.asarray(rgb), np.asarray(d)
+            return np.asarray(out)
         bank, atlas, state = self._build_render_state()
         rgb, d = _jitted_render(self.obs_width, self.obs_height, depth)(
             bank, atlas, state
@@ -521,20 +540,23 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
         return self.render_obs(depth=True)
 
     def render_top_view(self, width: int | None = None, height: int | None = None,
-                        render_agent: bool = True, return_scale: bool = False):
+                        render_agent: bool = True, return_scale: bool = False,
+                        with_depth: bool = False):
         """Orthographic top-down map view (miniworld.py:1171-1258).
 
         ``render_agent`` toggles the red agent triangle;
         ``return_scale=True`` additionally returns the reference's
         world→pixel mapping dict (miniworld.py:1245-1256):
-        ``{"x_scale", "z_scale", "x_offset", "z_offset"}``.
+        ``{"x_scale", "z_scale", "x_offset", "z_offset"}``;
+        ``with_depth=True`` returns (rgb, depth) for the view="top"
+        observation path.
         """
         import jax
         import jax.numpy as jnp
 
         w = width or self.obs_width
         h = height or self.obs_height
-        key = ("topview", w, h, render_agent)
+        key = ("topview", w, h, render_agent, with_depth)
         if key not in _RENDER_JIT:
             from miniworld_tpu.render.topview import render_top_view
 
@@ -543,17 +565,22 @@ class MiniWorldGym(gym.Env, gym.utils.EzPickle):
                     bank, state, {"mode": "nearest", "atlas": atlas},
                     width=w, height=h,
                     extents=extents, agent_radius=agent_radius,
-                    render_agent=render_agent,
+                    render_agent=render_agent, with_depth=with_depth,
                 )
 
             _RENDER_JIT[key] = jax.jit(f)
         bank, atlas, state = self._build_render_state()
-        img = np.asarray(_RENDER_JIT[key](
+        out = _RENDER_JIT[key](
             bank, atlas, state,
             jnp.asarray([self.min_x, self.max_x, self.min_z, self.max_z],
                         jnp.float32),
             jnp.float32(self.agent_radius),
-        ))
+        )
+        if with_depth:
+            assert not return_scale
+            rgb, d = out
+            return np.asarray(rgb), np.asarray(d)
+        img = np.asarray(out)
         if not return_scale:
             return img
         # world→pixel scale of the aspect-fit view (miniworld.py:1192-

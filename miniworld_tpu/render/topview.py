@@ -28,8 +28,13 @@ def render_top_view(
     extents,
     agent_radius: float = 0.4,
     render_agent: bool = True,
+    with_depth: bool = False,
 ):
-    """Render one env's top view. Returns (H, W, 3) u8.
+    """Render one env's top view. Returns (H, W, 3) u8, or
+    ``(rgb, depth)`` with ``with_depth=True`` (depth = vertical hit
+    distance from the orthographic camera plane, FAR for sky — the
+    analog of reading the depth buffer after a ``view='top'`` render,
+    miniworld.py:1305-1318).
 
     ``extents`` is (min_x, max_x, min_z, max_z) of the floorplan; the
     view is aspect-fit with a 1-unit margin like the reference
@@ -95,8 +100,14 @@ def render_top_view(
         + attr[:, raycast._BMAP]
     )
     if tex["mode"] == "fourier":
-        coeffs_env = tex["coeffs"][state.tex_map]
-        texel = raycast.eval_fourier(coeffs_env, attr[:, raycast._SLOT], uv, tex["k"])
+        # Vectorized-engine texture pack: the attr slot column already
+        # carries atlas indices (variant 0 baked at install when
+        # domain_rand is off; per-episode variant overrides are a
+        # perspective-scan feature the top view does not apply).
+        texel = raycast.eval_fourier(
+            tex["coeffs"], attr[:, raycast._SLOT], uv, tex["k"],
+            has_gain=tex.get("has_gain", True),
+        )
     else:
         texel = raycast.eval_nearest(tex["atlas"], state.tex_map, attr[:, raycast._SLOT], uv)
     tri_color = attr[:, raycast._COL] * texel
@@ -135,7 +146,10 @@ def render_top_view(
         rgb = jnp.where(inside[:, None], jnp.array([1.0, 0.0, 0.0]), rgb)
 
     rgb_u8 = jnp.clip(rgb * 255.0, 0.0, 255.0).astype(jnp.uint8)
-    return rgb_u8.reshape(height, width, 3)
+    rgb_u8 = rgb_u8.reshape(height, width, 3)
+    if with_depth:
+        return rgb_u8, t_safe.reshape(height, width, 1)
+    return rgb_u8
 
 
 def _tri_pass_ortho(bank, layout_id, origins, dirs, tri_active=None):

@@ -428,7 +428,8 @@ class MiniWorldVec:
         fourier_k: int | None = None,
         render_backend: str = "auto",
         supersample: int = 1,
-        procgen: bool = False,
+        procgen: bool | None = None,  # None -> spec.procgen_default
+        view: str = "agent",
     ):
         if isinstance(spec, str):
             from miniworld_tpu.envs import make_spec
@@ -489,6 +490,12 @@ class MiniWorldVec:
         self._chunk_vis = None  # set after the bank is compiled
         self._sched_len = None
 
+        # view="top": per-step observations are the orthographic top
+        # view with the agent marker, like the reference's view kwarg
+        # (miniworld/miniworld.py:470, 524-526; _render_world routes
+        # obs renders through render_top_view at 1147-1166)
+        assert view in ("agent", "top"), view
+        self.view = view
         assert tex_mode in ("fourier", "nearest"), tex_mode
         self.tex_mode = tex_mode
         if fourier_k is None:  # spec override, else global default
@@ -513,6 +520,9 @@ class MiniWorldVec:
         # layout bank. The bank becomes ONE super layout with every
         # wall variant; per-env geometry is the wall-open bitmask in
         # EnvState.wall_open (scene/supermaze.py, ops/mazegen.py).
+        if procgen is None:
+            procgen = spec.procgen_default  # Maze family: True (ref
+            # reset semantics; envs/nav.py Maze.procgen_default)
         self.procgen = bool(procgen)
         if self.procgen:
             if not all(hasattr(spec, a) for a in
@@ -1107,6 +1117,21 @@ class MiniWorldVec:
                    "has_gain": self._tex_has_gain}
         else:
             tex = {"mode": "nearest", "atlas": atlas}
+        if self.view == "top":
+            # view="top" (miniworld.py:470, 1147-1166): the per-step
+            # observation is the orthographic top view, agent marker
+            # included
+            from miniworld_tpu.render.topview import render_top_view
+
+            lay = lay_view(bank, state.layout_id)
+            out = render_top_view(
+                bank, state, tex,
+                width=self.obs_width, height=self.obs_height,
+                extents=lay.extents, agent_radius=self.spec.agent_radius,
+                render_agent=True, with_depth=self.with_depth,
+            )
+            rgb, depth = out if self.with_depth else (out, None)
+            return self._wrap_obs_one(rgb, depth, state)
         use_sched = self._pvs_packed or self._chunk_vis is not None
         rgb, depth = render_rgbd(
             bank, state, tex,

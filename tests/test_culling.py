@@ -46,7 +46,8 @@ def test_culled_render_identical(env_id, num_layouts):
     spec = make_spec(env_id)
     if spec.num_layouts > num_layouts:
         spec = dataclasses.replace(spec, num_layouts=num_layouts)
-    env = MiniWorldVec(spec, num_envs=8, bank_seed=3, domain_rand=True)
+    env = MiniWorldVec(spec, num_envs=8, bank_seed=3, domain_rand=True,
+                       procgen=False)
     if env._chunk_vis is None:
         pytest.skip(f"{env_id}: culling not engaged (full scan optimal)")
 
@@ -84,7 +85,7 @@ def _make_maze_packed(monkeypatch, num_envs=4, domain_rand=True):
 
     spec = dataclasses.replace(make_spec("MiniWorld-Maze-v0"), num_layouts=2)
     kw = dict(num_envs=num_envs, bank_seed=3, domain_rand=domain_rand,
-              obs_width=64, obs_height=48)
+              obs_width=64, obs_height=48, procgen=False)
     packed = MiniWorldVec(spec, **kw)
     with monkeypatch.context() as m:
         m.setattr(V, "plan_packed_pvs", _no_packed)
@@ -174,7 +175,7 @@ def test_schedule_is_conservative():
     """Every chunk containing a triangle of a PVS-visible room is in
     the schedule (host-side check of the planner's bound)."""
     spec = dataclasses.replace(make_spec("MiniWorld-MazeS3-v0"), num_layouts=4)
-    env = MiniWorldVec(spec, num_envs=2, bank_seed=1)
+    env = MiniWorldVec(spec, num_envs=2, bank_seed=1, procgen=False)
     if env._chunk_vis is None:
         pytest.skip("culling not engaged")
     bank = env._bank_np

@@ -102,9 +102,9 @@ def test_maze_layouts_differ():
     from miniworld_tpu.envs import make_spec
 
     spec = make_spec("MiniWorld-MazeS2-v0")
-    spec.num_layouts = 4
     spec.num_layouts = 8
-    env = MiniWorldVec(spec, num_envs=4, obs_width=W, obs_height=H)
+    env = MiniWorldVec(spec, num_envs=4, obs_width=W, obs_height=H,
+                       procgen=False)  # the layout BANK is under test
     # maze structure = which neighbor pairs connect = the junction-room
     # placement rows; distinct layouts must appear in an 8-entry bank
     aabbs = env._bank_np.room_aabb

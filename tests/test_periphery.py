@@ -275,3 +275,37 @@ def test_pickle_env(name):
     for x, y in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     env.close(), env2.close()
+
+
+def test_view_top_observation_mode():
+    """view="top" (miniworld.py:470, 524-526): per-step observations are
+    the orthographic top view, agent marker included — on both paths."""
+    import jax
+
+    from miniworld_tpu.vector import MiniWorldVec
+
+    # gym adapter: obs must equal render_top_view(render_agent=True)
+    env = MiniWorldGym("OneRoomS6Fast", obs_width=W, obs_height=H,
+                       view="top")
+    obs, _ = env.reset(seed=3)
+    assert obs.shape == (H, W, 3)
+    np.testing.assert_array_equal(obs, env.render_top_view(render_agent=True))
+    obs2, *_ = env.step(2)  # forward
+    np.testing.assert_array_equal(obs2, env.render_top_view(render_agent=True))
+    # the red agent marker is in frame (pure-red pixels)
+    red = (obs[..., 0] == 255) & (obs[..., 1] == 0) & (obs[..., 2] == 0)
+    assert red.any()
+    env.close()
+
+    # vectorized engine: same kwarg, same obs space, marker present,
+    # obs varies as the agent moves
+    venv = MiniWorldVec("MiniWorld-OneRoomS6Fast-v0", num_envs=2,
+                        obs_width=W, obs_height=H, view="top")
+    state, (o, d) = venv.reset(jax.random.key(0))
+    assert o.shape == (2, H, W, 3) and d.shape == (2, H, W, 1)
+    o = np.asarray(o)
+    red = (o[..., 0] == 255) & (o[..., 1] == 0) & (o[..., 2] == 0)
+    assert red.reshape(2, -1).any(axis=1).all()
+    acts = np.full((2,), 2)  # forward
+    state2, (o2, _), *_ = venv.step(state, jax.numpy.asarray(acts))
+    assert np.any(np.asarray(o2) != o)

@@ -278,7 +278,7 @@ def test_maze_device_invariants():
 
     spec = dataclasses.replace(make_spec("MiniWorld-MazeS3-v0"), num_layouts=4)
     env = MiniWorldVec(spec, num_envs=8, obs_width=W, obs_height=H,
-                       bank_seed=2)
+                       bank_seed=2, procgen=False)
     bank = env._bank_np
     state, _ = env.reset(jax.random.key(0))
     key = jax.random.key(1)

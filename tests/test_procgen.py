@@ -92,11 +92,16 @@ def test_host_iterative_matches_reference():
 
 @dataclasses.dataclass
 class _FixedMaze(MazeS3):
-    """MazeS3 with a frozen wall bitmask (the eager oracle)."""
+    """MazeS3 with a frozen wall bitmask (the eager oracle).
+
+    procgen_default must be overridden back to False: this spec IS the
+    eager compile the super bank is checked against (the Maze family
+    defaults to procgen since round 5)."""
     name: str = "FixedMazeS3"
     gym_id: str = "MiniWorld-FixedMazeS3-v0"
     num_layouts: int = 1
     open_w: tuple = ()
+    procgen_default: bool = False
 
     def build(self, world, rng, layout_rng=None, layout_idx=0):
         supermaze.populate_eager_maze(world, self, np.asarray(self.open_w))

@@ -43,7 +43,7 @@ SPECS = {
 @pytest.fixture(scope="module", params=sorted(SPECS))
 def env(request):
     e = MiniWorldVec(SPECS[request.param](), num_envs=4,
-                     obs_width=32, obs_height=24)
+                     obs_width=32, obs_height=24, procgen=False)
     if request.param == "packed":
         assert e._pvs_packed
     return e
@@ -101,7 +101,8 @@ def test_refresh_matches_fresh_build(env):
 
     env.refresh_layouts(777)
     env2 = MiniWorldVec(dataclasses.replace(env.spec), num_envs=4,
-                        obs_width=32, obs_height=24, bank_seed=777)
+                        obs_width=32, obs_height=24, bank_seed=777,
+                        procgen=False)
     np.testing.assert_array_equal(env._bank_np.tri_verts,
                                   env2._bank_np.tri_verts)
     np.testing.assert_array_equal(env._bank_np.segs, env2._bank_np.segs)
