@@ -158,7 +158,8 @@ from miniworld_tpu.ops.rng import hash01  # noqa: E402,F401 (re-export)
 def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
               tri_chunk: int, slot_key=None, tex_banks=None,
               dr_active: bool = False, chunk_sched=None,
-              init=None, tri_active=None, chunk_rows=None):
+              init=None, tri_active=None, chunk_rows=None,
+              attr_dtype=jnp.bfloat16):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
     ``verts9_bank`` (L, 9, S) and ``attr_bank`` (L, S, ATTR_DIM) are the
@@ -194,6 +195,13 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
     multiplies into the per-TRIANGLE reciprocal ``inv_tnum``, so a
     killed triangle's r is exactly 0 and fails the r > 1/FAR gate —
     zero per-pixel cost. Dense scans only (asserted).
+
+    ``attr_dtype`` (static): the resolved-attr carry dtype. bf16 is
+    bit-lossless ONLY while the slot column's integer ids stay <= 256
+    (8-bit mantissa); render_rgbd picks f32 automatically when the
+    texture table is larger (attr_carry_dtype) instead of silently
+    rounding ids — big nearest-mode slot tables (a 10x10 maze has
+    3 x #rooms local slots) and >256-row atlases stay exact.
 
     The vector layer repads the bank so ``S % tri_chunk == 0``
     (MiniWorldVec._repad_for_chunks): chunk boundaries then align
@@ -387,7 +395,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
             ohf, attrs,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)  # (HW, 16)
+        ).astype(attr_dtype)  # (HW, 16)
         return key_max, sel
 
     def body(carry, x):
@@ -409,7 +417,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
     if init is None:
         init = (
             jnp.zeros(hw, jnp.int32),  # key 0 = no hit (t = inf)
-            jnp.zeros((hw, ATTR_DIM), jnp.bfloat16),
+            jnp.zeros((hw, ATTR_DIM), attr_dtype),
         )
     else:
         # seeds arrive in t-space (the mesh-entity pass); 1/inf == 0.
@@ -422,7 +430,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
              & ~_IDX_MASK) | _IDX_MASK,
             0,
         )
-        init = (seed_key, init[1].astype(jnp.bfloat16))
+        init = (seed_key, init[1].astype(attr_dtype))
     # Chunk data is gathered BEFORE the scan (vmapped read_chunk) and
     # fed as scan xs: the scan then unstacks plain slices instead of
     # issuing per-iteration dynamic slices whose scalar offsets stall
@@ -456,6 +464,24 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
     t_best = jnp.where(key_best > 0, 1.0 / jnp.maximum(r_best, 1e-30),
                        jnp.inf)
     return t_best, attr_best
+
+
+def attr_carry_dtype(tex, state) -> "jnp.dtype":
+    """Resolved-attr carry dtype for this render: bf16 while every
+    slot id the attr stream can carry is an exact bf16 integer
+    (<= 256), else f32.
+
+    fourier mode carries ATLAS indices (tex table rows); nearest mode
+    carries layout-LOCAL slot ids resolved later through
+    ``state.tex_map`` (a 10x10 maze's 3 x #rooms local slots exceed
+    256 — silently rounding them cross-assigned roles/rooms). The
+    halving of the (B, HW, 16) attr streams is kept wherever exact
+    (measured +17% on Hallway, PERF.md round 4); bigger tables pay
+    the f32 carry instead of refusing to construct.
+    """
+    n_ids = tex["coeffs"].shape[0] if tex["mode"] == "fourier" \
+        else state.tex_map.shape[0]
+    return jnp.bfloat16 if n_ids <= 256 else jnp.float32
 
 
 def _cos_sin_turns(phi: jax.Array):
@@ -560,18 +586,25 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     w_b = amps[:, 3 * k:].reshape(n_slots, 3, k).transpose(1, 0, 2).reshape(
         3 * n_slots, k
     )
+    # bf16 OUTPUTS requested from the dots themselves: the MXU still
+    # accumulates in f32 and converts on the way out, but XLA then
+    # skips the separate full f32 (B, HW, T) materialization + convert
+    # pass the f32-dot + astype form emitted (profiled at ~10% of the
+    # Maze step). The bf16 add of the two rounded partials differs
+    # from round-after-f32-add by <= 1 bf16 ulp — under a u8 texel
+    # step.
     sums = (
         jax.lax.dot_general(
             ca, w_a.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.bfloat16,
         )
         + jax.lax.dot_general(
             sa, w_b.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.bfloat16,
         )
-    ).astype(jnp.bfloat16)  # (HW, 3T), channel-major
+    )  # (HW, 3T) bf16, channel-major
     # (An optimization_barrier here — to stop the per-channel slices
     # propagating into the amplitude dots — was measured and LOST:
     # Hallway 114.8k -> 86.0k, Maze 45.2k -> 43.2k. XLA's split
@@ -618,20 +651,24 @@ def eval_fourier(coeffs_env: jax.Array, slot: jax.Array, uv: jax.Array,
     if has_gain:
         gain = dcg[:, 3:4]
         # SDF edge half-width, in texels: the static fit width, grown
-        # to HALF THE PIXEL FOOTPRINT under minification. The AA
+        # with the PIXEL FOOTPRINT under minification. The AA
         # attenuation turns the reconstructed SDF into its local mean
         # over the footprint, and thresholding a mean at a fixed
         # width makes distant glyphs collapse to mid-gray (every
         # pixel lands inside the widened apparent edge); scaling the
         # width with the footprint instead recovers COVERAGE — the
         # box-filtered glyph a mip-mapped renderer would show — so
-        # small on-screen glyphs stay legible (oracle:
-        # tests/test_render.py native-scale classification).
+        # small on-screen glyphs stay legible. The 0.55 factor is the
+        # argmax of the native-scale classification oracle
+        # (tests/test_render.py): swept 0.3-0.8, 8/8 glyphs classify
+        # at 8/12/16 px with the best self-correlation at 0.55
+        # (0.5 left one 8 px E misread as R; sharper widths alias,
+        # wider ones blur).
         w0 = -1.0 / (2.0 * jnp.minimum(gain, -1e-9))
         if footprint is not None:
             from miniworld_tpu.render.textures import ATLAS_RES
 
-            w_eff = jnp.maximum(w0, 0.5 * footprint[:, None] * ATLAS_RES)
+            w_eff = jnp.maximum(w0, 0.55 * footprint[:, None] * ATLAS_RES)
         else:
             w_eff = w0
         s = jnp.clip(0.5 + texel[:, 0:1] / (2.0 * w_eff), 0.0, 1.0)
@@ -755,7 +792,8 @@ def entity_mesh_rows(bank, layout_id, state, fourier: bool,
     return verts, attrs
 
 
-def _entity_mesh_pass(bank, layout_id, state, origin, rays, fourier: bool):
+def _entity_mesh_pass(bank, layout_id, state, origin, rays, fourier: bool,
+                      attr_dtype=jnp.bfloat16):
     """Intersect dynamic mesh-entity rows (entity_mesh_rows) in one
     pass — no per-entity scan, no carry selects. Returns (t (HW,),
     attr (HW, ATTR_DIM)) normalized, ready to seed the static chunk
@@ -824,7 +862,7 @@ def _entity_mesh_pass(bank, layout_id, state, origin, rays, fourier: bool):
         ohf, attrs,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)  # (HW, ATTR_DIM)
+    ).astype(attr_dtype)  # (HW, ATTR_DIM)
     return t_min, sel
 
 
@@ -1080,6 +1118,7 @@ def render_rgbd(
         fwd[None, :] + xv[:, None] * right[None, :] + yv[:, None] * up[None, :]
     )
 
+    attr_dtype = attr_carry_dtype(tex, state)
     sched = None
     if pvs_packed:
         room = room_of_point(bank, layout_id, origin[jnp.array([0, 2])])
@@ -1095,7 +1134,7 @@ def render_rgbd(
         # the scan's own closer-select
         seed = _entity_mesh_pass(
             bank, layout_id, state, origin, rays,
-            fourier=tex["mode"] == "fourier",
+            fourier=tex["mode"] == "fourier", attr_dtype=attr_dtype,
         )
     if pvs_packed:
         v9_bank, at_bank = bank.pvs_verts9, bank.pvs_attr
@@ -1132,7 +1171,7 @@ def render_rgbd(
         tex_banks=tex_banks if use_key else None,
         dr_active=domain_rand,
         chunk_sched=sched, init=seed, tri_active=tri_active,
-        chunk_rows=chunk_rows,
+        chunk_rows=chunk_rows, attr_dtype=attr_dtype,
     )
     has_analytic = shapes_present[0] or shapes_present[1]
     if has_analytic:

@@ -708,13 +708,10 @@ class MiniWorldVec:
         self._bank = _to_device(bank_np)
         # "atlas" carries whichever texture table the mode needs:
         # fourier -> (N, 3+8K) coefficients; nearest -> (N,R,R,3) u8.
-        # Slot indices ride the attr rows through bf16 (exact integers
-        # only up to 256 — both the MXU's default f32->bf16 operand
-        # conversion and the bf16 attr carry rely on this).
-        assert tex_np.shape[0] <= 256, (
-            f"atlas has {tex_np.shape[0]} rows; slot ids above 256 are "
-            "not exact in bf16 (raycast attr pipeline)"
-        )
+        # Slot indices ride the attr rows in bf16 only while they are
+        # exact bf16 integers (<= 256); bigger tables automatically
+        # fall back to an f32 attr carry (raycast.attr_carry_dtype) —
+        # slower streams, never wrong ids.
         self._atlas = jnp.asarray(tex_np)
         # static: does any texture carry a glyph marker (SDF mode,
         # gain < 0, or a legacy contrast gain > 1)? Skips the per-pixel

@@ -78,3 +78,41 @@ def test_train_step_has_learner_collective():
         tstate, state, obs, depth, jax.random.key(1)
     ).compile().as_text()
     assert "all-reduce" in txt
+
+
+def test_refresh_layouts_under_sharding():
+    """Recompile-free bank refresh on a sharded env (round-4 VERDICT
+    item 10): swapping in a regenerated layout bank mid-rollout must
+    not retrace the sharded program (banks are jit ARGUMENTS) and the
+    new geometry must be visible on every shard."""
+    from miniworld_tpu.envs.nav import MazeS3
+    from miniworld_tpu.parallel import make_mesh, make_sharded_rollout
+
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    env = MiniWorldVec(MazeS3(num_layouts=4), num_envs=PER_DEVICE * n_dev,
+                       obs_width=W, obs_height=H, procgen=False)
+    roll = make_sharded_rollout(env, mesh, horizon=2)
+    state, obs, depth = roll.init(jax.random.key(0))
+    state, obs, depth, outs = roll.step(state, obs, depth, jax.random.key(1))
+    n_compiles = roll.fn._cache_size()
+    assert len(state.pos.sharding.device_set) == n_dev
+
+    old_verts = env._bank_np.tri_verts.copy()
+    rgb0, _ = env._render_jit(env._bank, env._atlas, state)
+    env.refresh_layouts(31337)
+    # same shapes (jit-argument swap), different geometry
+    assert env._bank_np.tri_verts.shape == old_verts.shape
+    assert np.any(env._bank_np.tri_verts != old_verts)
+    # the refreshed geometry shows up in-place on EVERY shard: the same
+    # sharded states render different pixels against the new bank
+    rgb1, _ = env._render_jit(env._bank, env._atlas, state)
+    changed = (np.asarray(rgb0) != np.asarray(rgb1)).reshape(
+        n_dev, PER_DEVICE, -1).any(axis=(1, 2))
+    assert changed.all(), changed
+
+    # the sharded rollout keeps running on its ORIGINAL compiled
+    # program (no retrace) with the swapped bank
+    state, obs, depth, outs = roll.step(state, obs, depth, jax.random.key(2))
+    assert np.isfinite(np.asarray(outs["obs_sum"])).all()
+    assert roll.fn._cache_size() == n_compiles

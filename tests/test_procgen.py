@@ -149,6 +149,18 @@ def test_superbank_pixel_parity_vs_eager():
         assert frac > 0.998, (pos, d, frac)
         dd = np.abs(np.asarray(dep_s) - np.asarray(dep_e))
         assert float(np.quantile(dd, 0.998)) < 1e-3, (pos, d)
+        # Pin the residue (round-4 VERDICT #7): every rgb-differing
+        # pixel must lie ON a depth-coincident surface pair — both
+        # renders agree on depth there to within the keyed-z mantissa
+        # quantum (~2^-13 relative) — so a real 3-pixel rendering bug
+        # (wrong geometry => wrong depth) cannot hide inside the tie
+        # allowance.
+        diff = ~same
+        if diff.any():
+            ds = np.asarray(dep_s)[..., 0][diff]
+            de = np.asarray(dep_e)[..., 0][diff]
+            rel = np.abs(ds - de) / np.maximum(np.minimum(ds, de), 1e-6)
+            assert float(rel.max()) < 2 ** -12, (pos, d, float(rel.max()))
 
     # sanity: a different bitmask changes the picture at the same pose
     open_w2 = mazegen.host_gen_walls(np.random.default_rng(12), 3, 3)

@@ -305,12 +305,11 @@ def test_glyph_legibility_native_scale():
         den = np.sqrt((a * a).sum() * (b * b).sum())
         return float((a * b).sum() / max(den, 1e-9))
 
-    # at 12+ px/char every glyph self-correlates > 0.85 and classifies
-    # perfectly; at 8 px (the far end of Sign's viewing range) 7/8
-    # still classify (measured after the footprint-scaled SDF width —
-    # the fixed width collapsed distant glyphs to mid-gray, 0.00
-    # self-correlation)
-    for s, min_diag, min_cls in ((8, 0.0, 7), (12, 0.85, 8), (16, 0.85, 8)):
+    # every glyph self-correlates > 0.85 and classifies perfectly at
+    # 8/12/16 px (8 px = the far end of Sign's viewing range) after
+    # the footprint-scaled SDF width with the swept 0.55 factor
+    # (raycast.eval_fourier; 0.5 left one 8 px E misread as R)
+    for s, min_diag, min_cls in ((8, 0.85, 8), (12, 0.85, 8), (16, 0.85, 8)):
         rendered = {ch: render_at(i, s) for i, ch in enumerate(chars)}
         truths = {ch: truth_at(ch, s) for ch in chars}
         classified = 0
@@ -411,3 +410,67 @@ def test_mesh_entities_render():
     # pixels closer than 2 m exist (the key) and are a contiguous blob
     near_px = (d < 2.0).sum()
     assert near_px > 20, near_px
+
+
+def test_attr_carry_dtype_boundary():
+    """bf16 slot-id exactness boundary: 256 rows ride bf16, 257 fall
+    back to f32 (raycast.attr_carry_dtype)."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from miniworld_tpu.render.raycast import attr_carry_dtype
+
+    state = SimpleNamespace(tex_map=np.zeros(300, np.int32))
+    assert attr_carry_dtype(
+        {"mode": "fourier", "coeffs": np.zeros((256, 7))}, state
+    ) == jnp.bfloat16
+    assert attr_carry_dtype(
+        {"mode": "fourier", "coeffs": np.zeros((257, 7))}, state
+    ) == jnp.float32
+    assert attr_carry_dtype(
+        {"mode": "nearest", "atlas": None},
+        SimpleNamespace(tex_map=np.zeros(256, np.int32)),
+    ) == jnp.bfloat16
+    assert attr_carry_dtype(
+        {"mode": "nearest", "atlas": None},
+        SimpleNamespace(tex_map=np.zeros(257, np.int32)),
+    ) == jnp.float32
+
+
+def test_big_slot_tables_construct_and_stay_exact():
+    """A 10x10 procgen super bank (3 x 220 local slots) constructs and
+    renders; in nearest mode the f32 fallback is LOAD-BEARING — forcing
+    the bf16 carry on its >256 local slot ids changes pixels (rounded
+    ids cross room/role slots)."""
+    import dataclasses
+
+    import jax
+
+    from miniworld_tpu import MiniWorldVec
+    from miniworld_tpu.envs import make_spec
+    from miniworld_tpu.render import raycast
+
+    spec = dataclasses.replace(
+        make_spec("MiniWorld-Maze-v0"), num_rows=10, num_cols=10,
+        num_layouts=1,
+    )
+    env = MiniWorldVec(spec, num_envs=1, obs_width=32, obs_height=24,
+                       procgen=True, tex_mode="nearest")
+    assert env._bank_np.tex_slot_base.shape[1] > 256  # (L, T)
+    state, (rgb, d) = env.reset(jax.random.key(0))
+    assert np.asarray(rgb).shape == (1, 24, 32, 3)
+    assert np.isfinite(np.asarray(d)).all()
+
+    forced = lambda tex, st: jax.numpy.bfloat16
+    orig = raycast.attr_carry_dtype
+    try:
+        raycast.attr_carry_dtype = forced
+        env._make_jits()
+        _, (rgb_bad, _) = env.reset(jax.random.key(0))
+    finally:
+        raycast.attr_carry_dtype = orig
+        env._make_jits()
+    assert np.any(np.asarray(rgb_bad) != np.asarray(rgb)), (
+        "forcing bf16 on >256 slot ids should corrupt the render — "
+        "if it doesn't, the f32 fallback is dead weight"
+    )
