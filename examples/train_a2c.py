@@ -121,7 +121,10 @@ def main():
         if metrics_f:
             metrics_f.flush()
         it_, m = pending[-1]
-        sps = steps_done / (now - t0)
+        # WINDOW rate, not cumulative: the first window carries the
+        # jit compile (~1-2 min through the axon tunnel), which made
+        # the cumulative average meaningless for hours of wall clock
+        sps = span_steps / span
         print(f"iter {it_:4d}  loss {float(m['loss']):8.4f}  "
               f"reward/iter {float(m['reward']):8.1f}  "
               f"episodes {int(m['dones']):5d}  {sps:,.0f} env-steps/s")

@@ -159,7 +159,7 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
               tri_chunk: int, slot_key=None, tex_banks=None,
               dr_active: bool = False, chunk_sched=None,
               init=None, tri_active=None, chunk_rows=None,
-              attr_dtype=jnp.bfloat16):
+              attr_dtype=jnp.bfloat16, all_quads: bool = False):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
     ``verts9_bank`` (L, 9, S) and ``attr_bank`` (L, S, ATTR_DIM) are the
@@ -349,12 +349,17 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
         # Kind-blended coverage: triangles (kind 1) need
         # u + v <= det — max + 1.0*min adds the SAME two floats, so
         # the tri path is bit-identical to the former u_num + v_num;
-        # parallelograms (kind 0) need max(u, v) <= det.
-        kind = attrs[:, _KIND:_KIND + 1]  # (TC, 1)
-        cov = (
-            jnp.maximum(u_num, v_num)
-            + kind * jnp.minimum(u_num, v_num)
-        )
+        # parallelograms (kind 0) need max(u, v) <= det. ``all_quads``
+        # (static, from the bank's kind column) skips the blend — maze
+        # banks are 100% rect prims (padding rows never hit: det = 0).
+        if all_quads:
+            cov = jnp.maximum(u_num, v_num)
+        else:
+            kind = attrs[:, _KIND:_KIND + 1]  # (TC, 1)
+            cov = (
+                jnp.maximum(u_num, v_num)
+                + kind * jnp.minimum(u_num, v_num)
+            )
         hit = (
             (det > 1e-12)
             & (u_num >= 0.0)
@@ -1066,6 +1071,7 @@ def render_rgbd(
     domain_rand: bool = False,
     supersample: int = 1,
     procgen: bool = False,
+    all_quads: bool = False,
 ):
     """Render one env's observation. Returns (rgb u8 (H,W,3), depth (H,W,1)).
 
@@ -1172,6 +1178,7 @@ def render_rgbd(
         dr_active=domain_rand,
         chunk_sched=sched, init=seed, tri_active=tri_active,
         chunk_rows=chunk_rows, attr_dtype=attr_dtype,
+        all_quads=all_quads,
     )
     has_analytic = shapes_present[0] or shapes_present[1]
     if has_analytic:

@@ -721,6 +721,11 @@ class MiniWorldVec:
             and ((tex_np[:, -1] > 1.0) | (tex_np[:, -1] < 0.0)).any()
         )
 
+        # static: every REAL prim a parallelogram? (maze/room banks
+        # are; the render scan then skips the kind blend entirely)
+        self._all_quads = bool(
+            (bank_np.tri_attr[:, :, 15][bank_np.tri_mask] == 0.0).all()
+        )
         self.num_layouts = bank_np.tri_verts.shape[0]
         self.num_ent_slots = bank_np.slot_protos.shape[1]
         # static shape-presence flags let the renderer skip whole
@@ -1141,6 +1146,7 @@ class MiniWorldVec:
             domain_rand=self.domain_rand,
             supersample=self.supersample,
             procgen=self.procgen,
+            all_quads=self._all_quads,
         )
         return self._wrap_obs_one(rgb, depth, state)
 
