@@ -159,7 +159,8 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
               tri_chunk: int, slot_key=None, tex_banks=None,
               dr_active: bool = False, chunk_sched=None,
               init=None, tri_active=None, chunk_rows=None,
-              attr_dtype=jnp.bfloat16, all_quads: bool = False):
+              attr_dtype=jnp.bfloat16, all_quads: bool = False,
+              paired=None):
     """Scan triangle chunks carrying (t_best, attr_best, u_best, v_best).
 
     ``verts9_bank`` (L, 9, S) and ``attr_bank`` (L, S, ATTR_DIM) are the
@@ -255,6 +256,43 @@ def _tri_pass(verts9_bank, attr_bank, layout_id, origin, rays,
         attrs = jax.lax.dynamic_slice(
             attr_bank, (layout_id, start, 0), (1, tri_chunk, ATTR_DIM)
         )[0]
+        if paired is not None:
+            # paired procgen super bank (Layout.pg_*): select the
+            # wall's live variant per env — junction content (primary)
+            # when the wall is open, its closed quads (alt) when not.
+            # ``use_p`` is this env's (Sp,) 0/1 vector (one matvec per
+            # render); the select is (9+16, TC) elementwise.
+            use_p, v9_alt_bank, attr_alt_bank, pg_tex_bank = paired
+            v9a = jax.lax.dynamic_slice(
+                v9_alt_bank, (layout_id, 0, start), (1, 9, tri_chunk)
+            )[0]
+            aa = jax.lax.dynamic_slice(
+                attr_alt_bank, (layout_id, start, 0),
+                (1, tri_chunk, ATTR_DIM),
+            )[0]
+            up = jax.lax.dynamic_slice(use_p, (start,), (tri_chunk,))
+            keep = up > 0.5
+            v9 = jnp.where(keep[None, :], v9, v9a)
+            attrs = jnp.where(keep[:, None], attrs, aa)
+            if slot_key is not None:
+                t2 = jax.lax.dynamic_slice(
+                    pg_tex_bank, (layout_id, 0, 0, start),
+                    (1, 2, 3, tri_chunk),
+                )[0]  # (2, 3, TC): [variant][ids|base|cnt]
+                ids = jnp.where(keep, t2[0, 0], t2[1, 0])
+                base = jnp.where(keep, t2[0, 1], t2[1, 1])
+                cnt = jnp.where(keep, t2[0, 2], t2[1, 2])
+                if dr_active:
+                    u_t = hash01(slot_key, ids)
+                    offs = jnp.minimum(jnp.floor(u_t * cnt), cnt - 1.0)
+                    ov = jnp.where(base >= 0.0, base + offs, -1.0)
+                else:
+                    ov = base
+                attrs = jnp.concatenate(
+                    [attrs[:, :_SLOT], ov[:, None], attrs[:, _SLOT + 1:]],
+                    axis=1,
+                )
+            return v9, attrs
         if slot_key is not None:
             tex_ids, tex_base, tex_count = tex_banks
             base = jax.lax.dynamic_slice(
@@ -1164,13 +1202,29 @@ def render_rgbd(
         ncl = bank.pvs_v9_rows.shape[0] // bank.pvs_verts9.shape[0]
         chunk_rows = (bank.pvs_v9_rows, bank.pvs_attr_rows, ncl)
     tri_active = None
+    paired = None
     if procgen:
-        # (S,) f32, exact 0/1: active = base + open @ K (signed K:
-        # -1 at closed-wall quads, +1 at junction content; see
-        # scene/compile.Layout procgen fields)
-        tri_active = (
-            bank.tri_active_base[0] + state.wall_open @ bank.tri_wall_onehot[0]
-        )
+        if bank.pg_verts9 is not None:
+            # Paired super bank (Layout.pg_*): the scan runs over
+            # Sp = cells + 4*walls rows, selecting each wall slot's
+            # live variant per env (use_primary = base + open @ K,
+            # exact 0/1) — 27% fewer rows than the dense bank and no
+            # inactive ones.
+            use_p = (
+                bank.pg_sel_base[0] + state.wall_open @ bank.pg_sel_onehot[0]
+            )
+            paired = (use_p, bank.pg_verts9_alt, bank.pg_attr_alt,
+                      bank.pg_tex)
+            v9_bank, at_bank = bank.pg_verts9, bank.pg_attr
+            tex_banks = None  # the paired read resolves tex via pg_tex
+        else:
+            # (S,) f32, exact 0/1: active = base + open @ K (signed K:
+            # -1 at closed-wall quads, +1 at junction content; see
+            # scene/compile.Layout procgen fields)
+            tri_active = (
+                bank.tri_active_base[0]
+                + state.wall_open @ bank.tri_wall_onehot[0]
+            )
     t_tri, attr = _tri_pass(
         v9_bank, at_bank, layout_id, origin, rays, tri_chunk,
         slot_key=state.tri_slots if use_key else None,
@@ -1178,7 +1232,7 @@ def render_rgbd(
         dr_active=domain_rand,
         chunk_sched=sched, init=seed, tri_active=tri_active,
         chunk_rows=chunk_rows, attr_dtype=attr_dtype,
-        all_quads=all_quads,
+        all_quads=all_quads, paired=paired,
     )
     has_analytic = shapes_present[0] or shapes_present[1]
     if has_analytic:

@@ -231,6 +231,23 @@ class Layout:
     tri_wall_onehot: np.ndarray | None = None  # (L,W,S) f32 signed
     room_seg_wall: np.ndarray | None = None  # (L,R,NS) i32
     room_wall: np.ndarray | None = None  # (L,R) i32
+    # Paired procgen render bank (scene/supermaze.build_paired_bank):
+    # exactly ONE of {a wall's junction content (4 prims), its
+    # closed-wall quads (2 prims + 2 degenerate)} exists per episode,
+    # so the render scan stores them as PRIMARY/ALT variants of the
+    # same Sp = cells + 4*walls rows and selects per env in-chunk
+    # (use_primary = pg_sel_base + wall_open @ pg_sel_onehot, exact
+    # 0/1) — 27% fewer rows in the hit-test fusion than the dense
+    # activity-masked bank, and no inactive rows at all. The dense
+    # tri_* arrays + activity machinery REMAIN for the non-hot
+    # consumers (top view, get_visible_ents).
+    pg_verts9: np.ndarray | None = None  # (L,9,Sp) f32 primary
+    pg_attr: np.ndarray | None = None  # (L,Sp,16) f32
+    pg_verts9_alt: np.ndarray | None = None  # (L,9,Sp) f32
+    pg_attr_alt: np.ndarray | None = None  # (L,Sp,16) f32
+    pg_sel_base: np.ndarray | None = None  # (L,Sp) f32
+    pg_sel_onehot: np.ndarray | None = None  # (L,W,Sp) f32
+    pg_tex: np.ndarray | None = None  # (L,2,3,Sp) f32 [variant][ids|base|cnt]
 
     def pad_to(self, sizes: dict) -> "Layout":
         """Pad all leading dims to the given sizes (keys: S,W,R,V,P,E,C,T)."""

@@ -254,8 +254,53 @@ def compile_super_maze(spec, catalog) -> Layout:
         np.arange(n_walls, dtype=np.int32),
     ])
 
+    # --- paired render bank (Layout.pg_*): the render scan's hot path.
+    # Per wall w, EXACTLY ONE of {its junction content (4 prims), its
+    # closed-wall quads (2 prims)} exists in any episode — store the
+    # closed quads as the ALT variant of 2 of the wall's 4 junction
+    # rows (other 2 alt rows degenerate) and select per env in-chunk.
+    # Sp = cells + 4*walls rows vs the dense bank's cells + 4*walls +
+    # 2*walls: 27% fewer hit-test rows and zero inactive ones. The
+    # dense arrays below remain for top view / get_visible_ents.
+    sp = s_open
+    sel_wall = np.where(lay.tri_room >= n_cells,
+                        lay.tri_room - n_cells, -1).astype(np.int32)
+    pg_v9_alt = np.zeros((9, sp), np.float32)
+    pg_attr_alt = np.zeros((sp, lay.tri_attr.shape[1]), np.float32)
+    # [variant 0=primary, 1=alt] x [tex ids | atlas base | variant cnt]
+    pg_tex = np.zeros((2, 3, sp), np.float32)
+    pg_tex[0, 0] = lay.tri_tex.astype(np.float32)
+    pg_tex[0, 1] = lay.tri_tex_base
+    pg_tex[0, 2] = lay.tri_tex_count
+    pg_tex[1, 1] = -1.0  # degenerate alt rows: flat
+    pg_tex[1, 2] = 1.0
+    closed9 = np.ascontiguousarray(tri_verts_c.reshape(n_closed, 9).T)
+    walls_arr = np.asarray(walls_of, np.int32)
+    for w in range(n_walls):
+        slots = np.where(sel_wall == w)[0]
+        rows = np.where(walls_arr == w)[0]
+        assert len(slots) == 4 and len(rows) == 2, (w, len(slots), len(rows))
+        for k, row in enumerate(rows):
+            s = slots[k]
+            pg_v9_alt[:, s] = closed9[:, row]
+            pg_attr_alt[s] = tri_attr_c[row]
+            pg_tex[1, 0, s] = float(tri_tex_c[row])
+            pg_tex[1, 1, s] = base_c[row]
+            pg_tex[1, 2, s] = count_c[row]
+    pg_sel_base = (sel_wall < 0).astype(np.float32)
+    pg_sel_onehot = (
+        sel_wall[None, :] == np.arange(n_walls, dtype=np.int32)[:, None]
+    ).astype(np.float32)
+
     lay = dataclasses.replace(
         lay,
+        pg_verts9=lay.tri_verts9.copy(),
+        pg_attr=lay.tri_attr.copy(),
+        pg_verts9_alt=pg_v9_alt,
+        pg_attr_alt=pg_attr_alt,
+        pg_sel_base=pg_sel_base,
+        pg_sel_onehot=pg_sel_onehot,
+        pg_tex=pg_tex,
         tri_verts=np.concatenate([lay.tri_verts, tri_verts_c]),
         tri_verts9=np.concatenate(
             [lay.tri_verts9,
@@ -311,4 +356,13 @@ def finalize_super_bank(bank: Layout, lay: Layout, n_walls: int) -> Layout:
     return dataclasses.replace(
         bank, tri_wall=tw, tri_jwall=tj, tri_active_base=base,
         tri_wall_onehot=onehot, room_seg_wall=rsw, room_wall=rw,
+        # paired render bank (built in compile_super_maze; stacking
+        # drops the optional fields like the pvs_* pattern)
+        pg_verts9=lay.pg_verts9[None],
+        pg_attr=lay.pg_attr[None],
+        pg_verts9_alt=lay.pg_verts9_alt[None],
+        pg_attr_alt=lay.pg_attr_alt[None],
+        pg_sel_base=lay.pg_sel_base[None],
+        pg_sel_onehot=lay.pg_sel_onehot[None],
+        pg_tex=lay.pg_tex[None],
     )

@@ -402,7 +402,8 @@ def lay_view(bank: Layout, layout_id) -> Layout:
         arr = getattr(bank, f.name)
         if arr is None:  # optional packed-PVS fields
             out[f.name] = None
-        elif f.name in _TRI_FIELDS or f.name.startswith("pvs_"):
+        elif (f.name in _TRI_FIELDS or f.name.startswith("pvs_")
+              or f.name.startswith("pg_")):
             out[f.name] = arr[0, :0]
         else:
             out[f.name] = arr[layout_id]
@@ -684,6 +685,15 @@ class MiniWorldVec:
                 pa = bank_np.pvs_attr.copy()
                 pa[:, :, 14] = bank_np.pvs_tri_tex_base
                 repl["pvs_attr"] = pa
+            if bank_np.pg_attr is not None:
+                # paired procgen bank: both variants' slot columns get
+                # their atlas bases (pg_tex rows [v][1])
+                pga = bank_np.pg_attr.copy()
+                pga[:, :, 14] = bank_np.pg_tex[:, 0, 1]
+                pgaa = bank_np.pg_attr_alt.copy()
+                pgaa[:, :, 14] = bank_np.pg_tex[:, 1, 1]
+                repl["pg_attr"] = pga
+                repl["pg_attr_alt"] = pgaa
             bank_np = _dc.replace(bank_np, **repl)
         if self._pvs_packed:
             # Chunk-row views for the one-hot chunk read (built AFTER
