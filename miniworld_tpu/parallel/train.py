@@ -91,7 +91,9 @@ def _policy_spec(env) -> tuple[int, bool]:
 
 def _policy_factory(params, continuous: bool):
     def policy(obs, depth, key):
-        rgb = jax.tree.leaves(obs)[0]
+        # the IMAGE leaf (dict-obs envs like Sign put a scalar goal
+        # leaf first in tree.leaves order)
+        rgb = obs["obs"] if isinstance(obs, dict) else obs
         out, _ = L.forward(params, rgb, depth)
         if continuous:
             return L.gaussian_sample(params, out, key)
@@ -134,7 +136,9 @@ def make_train_step(env, mesh, horizon: int = 4, lr: float = 3e-4,
             "depth", jnp.zeros(rgb_t.shape[:4] + (1,), jnp.float32)
         )
         # bootstrap the tail from the critic at the post-rollout obs
-        _, v_boot = L.forward(params, jax.tree.leaves(obs)[0], depth)
+        _, v_boot = L.forward(
+            params, obs["obs"] if isinstance(obs, dict) else obs, depth
+        )
         returns = discounted_returns(
             outs["rewards"], outs["done_mask"],
             jax.lax.stop_gradient(v_boot), gamma,
@@ -257,7 +261,9 @@ def make_ppo_step(env, mesh, horizon: int = 16, lr: float = 3e-4,
             old_logp = jnp.take_along_axis(
                 old_logp_all, actions[:, None], axis=1
             )[:, 0]
-        _, v_boot = L.forward(params, jax.tree.leaves(obs)[0], depth)
+        _, v_boot = L.forward(
+            params, obs["obs"] if isinstance(obs, dict) else obs, depth
+        )
         adv = gae(
             outs["rewards"], outs["done_mask"], values.reshape(T, B),
             v_boot, gamma, lam,

@@ -1304,7 +1304,10 @@ class MiniWorldVec:
                     self._step_one, in_axes=(None, 0, 0)
                 )(bank, state, actions)
                 obs, depth = self._render_batch(bank, atlas, state)
-                rgb_leaf = jax.tree.leaves(obs)[0]
+                # the IMAGE leaf: tree.leaves sorts dict keys, which
+                # put Sign's scalar "goal" first and fed a (B,) array
+                # to the pixel-sample checksum below
+                rgb_leaf = obs["obs"] if isinstance(obs, dict) else obs
                 out = {
                     "reward": jnp.sum(reward),
                     "dones": jnp.sum(done),

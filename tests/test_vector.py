@@ -130,3 +130,21 @@ def test_pickup_scores_and_removes():
     assert float(r[0]) == 1.0
     assert not bool(d[0])
     assert not bool(state2.ent_alive[0, 0])
+
+
+def test_dict_obs_fused_rollout():
+    """Dict-obs envs (Sign) through the fused rollout: the obs-checksum
+    and any learner-side image pick must use the IMAGE leaf, not
+    tree.leaves()[0] (dict key order puts the scalar 'goal' first —
+    this crashed the first-ever Sign bench, round 5)."""
+    import numpy as np
+
+    env = MiniWorldVec("MiniWorld-Sign-v0", num_envs=2, obs_width=32,
+                       obs_height=24)
+    state, obs = env.reset(jax.random.key(0))
+    state, obs, outs = env.rollout(state, obs, jax.random.key(1), 2)
+    o, d = obs
+    assert set(o.keys()) == {"obs", "goal"}
+    assert o["obs"].shape == (2, 24, 32, 3)
+    s = np.asarray(outs["obs_sum"])
+    assert s.shape == (2,) and (s > 0).all()
